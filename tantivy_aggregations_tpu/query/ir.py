@@ -1,0 +1,98 @@
+"""Query IR — the TPU-native analog of tantivy's Query/Weight/Scorer stack.
+
+Where tantivy lowers a query to per-segment `Scorer` DocSet iterators
+(SURVEY.md §2.2 T6/T7), this engine lowers a query to a **mask program**: a
+vectorized boolean expression over HBM-resident columns producing a doc
+bitmask. Boolean composition becomes bitwise algebra; range queries become
+column compares in the int64 mono domain; term queries on keyword fields
+become ordinal compares. Scoring is intentionally absent: every judged
+aggregation path is scoring-independent (SURVEY.md §A.10).
+
+Queries are immutable dataclasses. Their *structure* (tree shape, fields,
+which bounds are present) is a jit-cache key; their *parameters* (the term,
+the bounds) are traced device scalars, so re-running the same query shape
+with different constants does not recompile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple, Union
+
+
+class Query:
+    """Marker base class."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    """Matches every alive doc."""
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    """Matches docs holding the exact value (any position for multi-valued).
+
+    value: str for keyword fields, int for u64/i64/date, float for f64.
+    """
+
+    field: str
+    value: Union[str, int, float]
+
+
+@dataclass(frozen=True)
+class RangeQuery(Query):
+    """Inclusive/exclusive range over a numeric fast field (mono compare)."""
+
+    field: str
+    lower: Optional[Union[int, float]] = None
+    upper: Optional[Union[int, float]] = None
+    include_lower: bool = True
+    include_upper: bool = False
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    """Lucene/tantivy boolean semantics: all musts, no must_nots, and — when
+    there are no must clauses — at least one should."""
+
+    must: Tuple[Query, ...] = ()
+    should: Tuple[Query, ...] = ()
+    must_not: Tuple[Query, ...] = ()
+
+    def __init__(self, must=(), should=(), must_not=()):
+        object.__setattr__(self, "must", tuple(must))
+        object.__setattr__(self, "should", tuple(should))
+        object.__setattr__(self, "must_not", tuple(must_not))
+
+
+def structural_key(q: Query) -> tuple:
+    """Hashable description of the query *shape* (jit-cache key component).
+
+    Parameters that are traced at runtime (term values, range bounds) are
+    excluded; parameters that change program structure (which bounds exist,
+    inclusivity) are included.
+    """
+    if isinstance(q, MatchAllQuery):
+        return ("all",)
+    if isinstance(q, TermQuery):
+        return ("term", q.field)
+    if isinstance(q, RangeQuery):
+        return (
+            "range",
+            q.field,
+            q.lower is not None,
+            q.upper is not None,
+            q.include_lower,
+            q.include_upper,
+        )
+    if isinstance(q, BooleanQuery):
+        return (
+            "bool",
+            tuple(structural_key(c) for c in q.must),
+            tuple(structural_key(c) for c in q.should),
+            tuple(structural_key(c) for c in q.must_not),
+        )
+    raise TypeError(f"unknown query type {type(q)!r}")

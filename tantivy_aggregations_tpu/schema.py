@@ -1,0 +1,125 @@
+"""Schema: typed field definitions for the index.
+
+TPU-native analog of tantivy's schema subsystem (SURVEY.md §2.2 T1): fields
+are typed (u64/i64/f64/date/keyword), flagged FAST for columnar storage, and
+carry a cardinality (single vs multi). In this engine every queryable field
+is also a fast field — queries are evaluated as vectorized column compares,
+not postings seeks — so the FAST flag is about storage intent parity with
+the reference, not a different code path.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+from typing import Dict, List, Optional
+
+
+class FieldType(str, Enum):
+    U64 = "u64"
+    I64 = "i64"
+    F64 = "f64"
+    DATE = "date"  # stored as u64 microseconds since epoch
+    KEYWORD = "keyword"  # exact-match string, dictionary-encoded to ordinals
+
+    @property
+    def is_numeric(self) -> bool:
+        return self in (FieldType.U64, FieldType.I64, FieldType.F64, FieldType.DATE)
+
+
+class Cardinality(str, Enum):
+    SINGLE = "single"
+    MULTI = "multi"
+
+
+@dataclass(frozen=True)
+class FieldEntry:
+    name: str
+    type: FieldType
+    cardinality: Cardinality = Cardinality.SINGLE
+    fast: bool = True
+    indexed: bool = True
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "type": self.type.value,
+            "cardinality": self.cardinality.value,
+            "fast": self.fast,
+            "indexed": self.indexed,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FieldEntry":
+        return FieldEntry(
+            name=d["name"],
+            type=FieldType(d["type"]),
+            cardinality=Cardinality(d["cardinality"]),
+            fast=d.get("fast", True),
+            indexed=d.get("indexed", True),
+        )
+
+
+@dataclass(frozen=True)
+class Schema:
+    fields: tuple
+
+    def field(self, name: str) -> FieldEntry:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(f"field {name!r} not in schema")
+
+    def has_field(self, name: str) -> bool:
+        return any(f.name == name for f in self.fields)
+
+    @property
+    def field_names(self) -> List[str]:
+        return [f.name for f in self.fields]
+
+    def to_json(self) -> list:
+        return [f.to_json() for f in self.fields]
+
+    @staticmethod
+    def from_json(lst: list) -> "Schema":
+        return Schema(tuple(FieldEntry.from_json(d) for d in lst))
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_json())
+
+    @staticmethod
+    def loads(s: str) -> "Schema":
+        return Schema.from_json(json.loads(s))
+
+
+@dataclass
+class SchemaBuilder:
+    """Fluent builder mirroring tantivy's SchemaBuilder ergonomics."""
+
+    _fields: List[FieldEntry] = dc_field(default_factory=list)
+
+    def _add(self, name: str, ftype: FieldType, cardinality: Cardinality,
+             fast: bool, indexed: bool) -> "SchemaBuilder":
+        if any(f.name == name for f in self._fields):
+            raise ValueError(f"duplicate field {name!r}")
+        self._fields.append(FieldEntry(name, ftype, cardinality, fast, indexed))
+        return self
+
+    def add_u64_field(self, name, cardinality=Cardinality.SINGLE, fast=True, indexed=True):
+        return self._add(name, FieldType.U64, Cardinality(cardinality), fast, indexed)
+
+    def add_i64_field(self, name, cardinality=Cardinality.SINGLE, fast=True, indexed=True):
+        return self._add(name, FieldType.I64, Cardinality(cardinality), fast, indexed)
+
+    def add_f64_field(self, name, cardinality=Cardinality.SINGLE, fast=True, indexed=True):
+        return self._add(name, FieldType.F64, Cardinality(cardinality), fast, indexed)
+
+    def add_date_field(self, name, cardinality=Cardinality.SINGLE, fast=True, indexed=True):
+        return self._add(name, FieldType.DATE, Cardinality(cardinality), fast, indexed)
+
+    def add_keyword_field(self, name, cardinality=Cardinality.SINGLE, fast=True, indexed=True):
+        return self._add(name, FieldType.KEYWORD, Cardinality(cardinality), fast, indexed)
+
+    def build(self) -> Schema:
+        return Schema(tuple(self._fields))
