@@ -71,7 +71,9 @@ def f64_limb_planes(v: np.ndarray, base_exp: int, n_limbs: int) -> np.ndarray:
     int32 array of shape v.shape + (n_limbs,).
     """
     sign, mant, e_eff = f64_decompose(v)
-    shift = e_eff - base_exp
+    # zeros (mant == 0) contribute nothing; their e_eff may sit below the
+    # nonzero-derived base_exp, so pin their shift to 0
+    shift = np.where(mant == 0, 0, e_eff - base_exp)
     if (shift < 0).any():
         raise ValueError("base_exp larger than some value's exponent")
     sgn = np.where(sign == 1, np.int64(-1), np.int64(1))
