@@ -101,17 +101,57 @@ class Program:
                         hdims=(), tflat=1)
         self._collect_query_arrays(query)
 
+        self._sharded = dindex.mesh is not None
+
         def fn(params, arrays):
-            mask = qc.eval_mask(query, dindex, params) & arrays["alive"]
+            self._lT = arrays["alive"].shape[0]  # local doc-axis length
+            mask = qc.eval_mask(query, dindex, params, T=self._lT,
+                                arrays=arrays) & arrays["alive"]
             ctx = MaskCtx(mask)
             out = {}
             for name, agg in aggs.items():
                 out[name] = self._eval(agg, ctx, params, arrays, ("a", name))
             return out
 
+        if self._sharded:
+            from jax.sharding import PartitionSpec as P
+            arr_specs = {k: P("d", *([None] * (v.ndim - 1)))
+                         for k, v in self._arrays.items()}
+            fn = jax.shard_map(fn, mesh=dindex.mesh,
+                               in_specs=(P(), arr_specs), out_specs=P(),
+                               check_vma=False)
+        self.raw_fn = fn  # unjitted (for compile checks / entry points)
         self._fn = jax.jit(fn)
         self._query = query
         self._aggs = aggs
+
+    # -- cross-shard merges (ICI collectives; no-ops on one chip) -------------
+
+    def _madd(self, x):
+        return jax.lax.psum(x, "d") if self._sharded else x
+
+    def _mmin(self, x):
+        if not self._sharded:
+            return x
+        g = jax.lax.all_gather(x, "d", tiled=False)
+        return jnp.min(g, axis=0)
+
+    def _mmax(self, x):
+        if not self._sharded:
+            return x
+        g = jax.lax.all_gather(x, "d", tiled=False)
+        return jnp.max(g, axis=0)
+
+    def _merge_metric(self, out):
+        if "cnt" in out:
+            out["cnt"] = self._madd(out["cnt"])
+        if "sum" in out:
+            out["sum"] = self._madd(out["sum"])
+        if "min" in out:
+            out["min"] = self._mmin(out["min"])
+        if "max" in out:
+            out["max"] = self._mmax(out["max"])
+        return out
 
     # -- public ---------------------------------------------------------------
 
@@ -318,7 +358,7 @@ class Program:
             doc = arrays[f"{field}:doc"]
             vmask = ctx.mask[doc] & arrays[f"{field}:valid"]
         else:
-            doc = jnp.arange(self.dindex.T, dtype=jnp.int32)
+            doc = jnp.arange(self._lT, dtype=jnp.int32)
             vmask = ctx.mask
         return vals, vmask, doc
 
@@ -326,16 +366,19 @@ class Program:
         p = self.plan.get(path)
         if isinstance(node, A.CountAgg):
             if isinstance(ctx, MaskCtx):
-                return {"cnt": R.masked_count(ctx.mask)}
-            return {"cnt": R.slot_count(ctx.slot, ctx.valid, ctx.nslots)}
+                return {"cnt": self._madd(R.masked_count(ctx.mask))}
+            return {"cnt": self._madd(
+                R.slot_count(ctx.slot, ctx.valid, ctx.nslots))}
 
         if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg, A.StatsAgg)):
             return self._eval_metric(node, ctx, arrays, p)
 
         if isinstance(node, A.PercentilesAgg):
             vals, vmask, _ = self._rows(node.field, ctx, arrays)
-            return {"sorted": jnp.sort(jnp.where(vmask, vals, MONO_POS_INF)),
-                    "m": R.masked_count(vmask)}
+            srt = jnp.sort(jnp.where(vmask, vals, MONO_POS_INF))
+            if self._sharded:
+                srt = jnp.sort(jax.lax.all_gather(srt, "d", tiled=True))
+            return {"sorted": srt, "m": self._madd(R.masked_count(vmask))}
 
         if isinstance(node, A.HistogramAgg):
             return self._eval_histogram(node, ctx, params, arrays, path, p)
@@ -345,33 +388,43 @@ class Program:
 
         if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
             fmask = qc.eval_mask(node.query, self.dindex, params,
-                                 path=path + ("fq",))
+                                 path=path + ("fq",), T=self._lT,
+                                 arrays=arrays)
             out = {}
             if isinstance(ctx, MaskCtx):
                 sub_ctx = MaskCtx(ctx.mask & fmask)
-                out["cnt"] = R.masked_count(sub_ctx.mask)
+                out["cnt"] = self._madd(R.masked_count(sub_ctx.mask))
             else:
                 valid = ctx.valid & fmask[ctx.doc]
                 sv = None if ctx.slot_valid_of_doc is None else (
                     ctx.slot_valid_of_doc & fmask)
                 sub_ctx = SlotCtx(ctx.doc, ctx.slot, valid, ctx.dims,
                                   ctx.slot_of_doc, sv)
-                out["cnt"] = R.slot_count(ctx.slot, valid, ctx.nslots)
+                out["cnt"] = self._madd(
+                    R.slot_count(ctx.slot, valid, ctx.nslots))
             for name, sub in node.sub_aggs:
                 out[name] = self._eval(sub, sub_ctx, params, arrays,
                                        path + (name,))
             return out
 
         if isinstance(node, A.TopHitsAgg):
-            col = self._col(node.sort_field)
             vals = arrays[f"{node.sort_field}:mono"]
             key = jnp.where(ctx.mask, ~vals if not node.ascending else vals,
                             MONO_POS_INF)
-            doc = jnp.arange(self.dindex.T, dtype=jnp.int64)
+            doc = jnp.arange(self._lT, dtype=jnp.int64)
+            if self._sharded:
+                doc = doc + jax.lax.axis_index("d").astype(I64) * self._lT
             sk, sd = jax.lax.sort((key, doc), num_keys=2)
-            k = self.plan[path]["k"]
-            return {"keys": sk[:k], "docs": sd[:k],
-                    "m": R.masked_count(ctx.mask)}
+            k = min(self.plan[path]["k"], self._lT)
+            sk, sd = sk[:k], sd[:k]
+            if self._sharded:
+                sk = jax.lax.all_gather(sk, "d", tiled=True)
+                sd = jax.lax.all_gather(sd, "d", tiled=True)
+                sk, sd = jax.lax.sort((sk, sd), num_keys=2)
+                kk = self.plan[path]["k"]
+                sk, sd = sk[:kk], sd[:kk]
+            return {"keys": sk, "docs": sd,
+                    "m": self._madd(R.masked_count(ctx.mask))}
 
         raise TypeError(f"unknown agg {type(node)!r}")
 
@@ -395,7 +448,7 @@ class Program:
                 else:
                     out["sum"] = R.masked_sum_limbs(
                         arrays[f"{field}:limbs"], vmask)
-            return out
+            return self._merge_metric(out)
 
         # SlotCtx
         col = self._col(field)
@@ -415,12 +468,12 @@ class Program:
                     planes = arrays[f"{field}:limbs"][ctx.doc]
                     out["sum"] = R.slot_sum_limbs(
                         planes, ctx.slot, ctx.valid, ns)
-            return out
+            return self._merge_metric(out)
 
         # multi-valued field under slots: per-doc pre-aggregation, then
         # scatter per contribution (each parent occurrence sees ALL of the
         # doc's values — the reference's collect(doc) recursion, §3.2)
-        T = self.dindex.T
+        T = self._lT
         gv, gdoc, gvalid = (arrays[f"{field}:mono"], arrays[f"{field}:doc"],
                             arrays[f"{field}:valid"])
         cnt_doc = jnp.zeros(T, I64).at[gdoc].add(
@@ -449,7 +502,7 @@ class Program:
                 upd = jnp.where(ctx.valid[:, None], sum_doc[ctx.doc], 0)
                 out["sum"] = jnp.zeros((ns, L), I64).at[ctx.slot].add(
                     upd, mode="drop")
-        return out
+        return self._merge_metric(out)
 
     def _bucket_ids(self, p, vals):
         """Value rows -> 0-based bucket index in [0, nb)."""
@@ -467,7 +520,7 @@ class Program:
         contribution."""
         if not col.multi:
             return slot, valid
-        T = self.dindex.T
+        T = self._lT
         sod = jnp.full(T, -1, jnp.int32).at[doc].max(
             jnp.where(valid, slot.astype(jnp.int32), -1), mode="drop")
         return sod, sod >= 0
@@ -489,8 +542,8 @@ class Program:
                 doc = arrays[f"{field}:doc"]
                 gvalid = arrays[f"{field}:valid"]
             else:
-                doc = jnp.arange(self.dindex.T, dtype=jnp.int32)
-                gvalid = jnp.ones(self.dindex.T, dtype=bool)
+                doc = jnp.arange(self._lT, dtype=jnp.int32)
+                gvalid = jnp.ones(self._lT, dtype=bool)
             bid = self._bucket_ids(p, vals)
             pslot = ctx.slot_of_doc[doc]
             pvalid = ctx.slot_valid_of_doc[doc]
@@ -498,7 +551,7 @@ class Program:
             valid = gvalid & pvalid
             dims = ctx.dims + (nb,)
         ns = _prod(dims)
-        out = {"counts": R.slot_count(slot, valid, ns)}
+        out = {"counts": self._madd(R.slot_count(slot, valid, ns))}
         if node.sub_aggs:
             if p["chain"]:
                 sod, svd = self._slot_of_doc(col, doc, slot, valid)
@@ -523,7 +576,7 @@ class Program:
                 doc = arrays[f"{field}:doc"]
                 vmask = ctx.mask[doc] & arrays[f"{field}:valid"]
             else:
-                doc = jnp.arange(self.dindex.T, dtype=jnp.int32)
+                doc = jnp.arange(self._lT, dtype=jnp.int32)
                 vmask = ctx.mask
             slot = ids_rows
             valid = vmask
@@ -534,8 +587,8 @@ class Program:
                 doc = arrays[f"{field}:doc"]
                 gvalid = arrays[f"{field}:valid"]
             else:
-                doc = jnp.arange(self.dindex.T, dtype=jnp.int32)
-                gvalid = jnp.ones(self.dindex.T, dtype=bool)
+                doc = jnp.arange(self._lT, dtype=jnp.int32)
+                gvalid = jnp.ones(self._lT, dtype=bool)
             pslot = ctx.slot_of_doc[doc]
             pvalid = ctx.slot_valid_of_doc[doc]
             slot = pslot * card + ids_rows
@@ -543,7 +596,7 @@ class Program:
             anc_flat = ctx.nslots
             dims = ctx.dims + (card,)
         ns = _prod(dims)
-        counts = R.slot_count(slot, valid, ns)
+        counts = self._madd(R.slot_count(slot, valid, ns))
 
         sub_out = {}
         if node.sub_aggs:

@@ -96,43 +96,51 @@ def _extract(q, dindex, path, out) -> None:
     raise TypeError(f"unknown query {type(q)!r}")
 
 
-def eval_mask(q, dindex, params, path=("q",)) -> jnp.ndarray:
+def eval_mask(q, dindex, params, path=("q",), T=None, arrays=None) -> jnp.ndarray:
     """Trace-time evaluation: query -> bool doc mask [T] (alive NOT applied;
-    the caller ANDs the alive mask once at the root, SURVEY.md §A.2)."""
+    the caller ANDs the alive mask once at the root, SURVEY.md §A.2).
+
+    `T` is the LOCAL doc-axis length and `arrays` the program's array-input
+    dict — under shard_map these are the shard-local views, so column data
+    must be read from `arrays`, never from the captured DeviceColumn."""
+    if T is None:
+        T = dindex.T
     if isinstance(q, Q.MatchAllQuery):
-        return jnp.ones(dindex.T, dtype=bool)
-    if isinstance(q, Q.TermQuery):
+        return jnp.ones(T, dtype=bool)
+    if isinstance(q, (Q.TermQuery, Q.RangeQuery)):
         col = dindex.column(q.field)
-        p1 = params[_key(path) + ":term"]
-        p2 = params[_key(path) + ":term2"]
-        hits = (col.mono == p1) | (col.mono == p2)
+        if arrays is not None:
+            mono = arrays[f"{q.field}:mono"]
+            doc_id = arrays.get(f"{q.field}:doc")
+            valid = arrays.get(f"{q.field}:valid")
+        else:
+            mono, doc_id, valid = col.mono, col.doc_id, col.valid
+        if isinstance(q, Q.TermQuery):
+            p1 = params[_key(path) + ":term"]
+            p2 = params[_key(path) + ":term2"]
+            hits = (mono == p1) | (mono == p2)
+        else:
+            hits = jnp.ones(mono.shape, dtype=bool)
+            if q.lower is not None:
+                lo = params[_key(path) + ":lo"]
+                hits &= (mono >= lo) if q.include_lower else (mono > lo)
+            if q.upper is not None:
+                hi = params[_key(path) + ":hi"]
+                hits &= (mono <= hi) if q.include_upper else (mono < hi)
         if col.multi:
-            hits = hits & col.valid
-            return R.values_hit_to_doc_mask(hits, col.doc_id, dindex.T)
-        return hits
-    if isinstance(q, Q.RangeQuery):
-        col = dindex.column(q.field)
-        hits = jnp.ones(col.mono.shape, dtype=bool)
-        if q.lower is not None:
-            lo = params[_key(path) + ":lo"]
-            hits &= (col.mono >= lo) if q.include_lower else (col.mono > lo)
-        if q.upper is not None:
-            hi = params[_key(path) + ":hi"]
-            hits &= (col.mono <= hi) if q.include_upper else (col.mono < hi)
-        if col.multi:
-            hits = hits & col.valid
-            return R.values_hit_to_doc_mask(hits, col.doc_id, dindex.T)
+            hits = hits & valid
+            return R.values_hit_to_doc_mask(hits, doc_id, T)
         return hits
     if isinstance(q, Q.BooleanQuery):
-        m = jnp.ones(dindex.T, dtype=bool)
+        m = jnp.ones(T, dtype=bool)
         for i, c in enumerate(q.must):
-            m &= eval_mask(c, dindex, params, path + ("m", i))
+            m &= eval_mask(c, dindex, params, path + ("m", i), T, arrays)
         if q.should and not q.must:
-            s = jnp.zeros(dindex.T, dtype=bool)
+            s = jnp.zeros(T, dtype=bool)
             for i, c in enumerate(q.should):
-                s |= eval_mask(c, dindex, params, path + ("s", i))
+                s |= eval_mask(c, dindex, params, path + ("s", i), T, arrays)
             m &= s
         for i, c in enumerate(q.must_not):
-            m &= ~eval_mask(c, dindex, params, path + ("n", i))
+            m &= ~eval_mask(c, dindex, params, path + ("n", i), T, arrays)
         return m
     raise TypeError(f"unknown query {type(q)!r}")
