@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Benchmark harness: TPU engine vs single-core C++ baseline on the five
+judged configs (BASELINE.json), 10M-doc fixed-seed index.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": <geomean qps>, "unit": "qps", "vs_baseline": <geomean speedup>}
+All progress/detail goes to stderr. Results of the two engines are asserted
+EQUAL (exact arithmetic on both sides) before any number is reported.
+
+Usage: python bench.py [--smoke] [--docs N] [--reps R] [--segments S]
+"""
+
+import argparse
+import json
+import math
+import os
+import statistics
+import subprocess
+import sys
+import time
+from fractions import Fraction
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# index build (cached on disk)
+# ---------------------------------------------------------------------------
+
+def ensure_index(n_docs: int, n_segments: int, seed: int = 42):
+    from tantivy_aggregations_tpu import Index
+    from tantivy_aggregations_tpu.models import flagship
+    path = os.path.join(CACHE, f"idx_{n_docs}_{n_segments}_{seed}")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        log(f"[bench] reusing cached index {path}")
+        return Index.open(path), path
+    log(f"[bench] building {n_docs}-doc index at {path} ...")
+    t0 = time.time()
+    idx = flagship.build_bench_index(path, n_docs, seed=seed,
+                                     n_segments=n_segments)
+    log(f"[bench] built in {time.time()-t0:.1f}s")
+    return idx, path
+
+
+def write_manifest(idx, path: str) -> str:
+    """Manifest + terms.txt sidecars for the C++ baseline."""
+    mpath = os.path.join(path, "baseline_manifest.txt")
+    with open(mpath, "w") as f:
+        f.write(f"base {path}\n")
+        for seg in idx.segments:
+            segdir = f"seg_{seg.id}"
+            has_alive = 1 if seg.alive is not None else 0
+            f.write(f"segment {segdir} {seg.max_doc} {has_alive}\n")
+            for entry in idx.schema.fields:
+                fd = seg.fields[entry.name]
+                csr = 1 if fd.offsets is not None else 0
+                f.write(f"field {entry.name} {entry.type.value} "
+                        f"{1 if entry.cardinality.value=='multi' else 0} {csr}\n")
+                if fd.terms is not None:
+                    tpath = os.path.join(path, segdir,
+                                         f"{entry.name}.terms.txt")
+                    with open(tpath, "w") as tf:
+                        tf.write("\n".join(fd.terms))
+    return mpath
+
+
+def build_baseline() -> str:
+    exe = os.path.join(REPO, "baseline_cpp", "engine")
+    subprocess.run(["make", "-s", "-C", os.path.join(REPO, "baseline_cpp")],
+                   check=True)
+    return exe
+
+
+# ---------------------------------------------------------------------------
+# C++ raw fruit -> engine-shaped final fruit (shared exact harvest helpers)
+# ---------------------------------------------------------------------------
+
+def _f64(bits: int) -> float:
+    from tantivy_aggregations_tpu.utils import mono
+    return float(mono.mono_to_f64(np.asarray([bits], dtype=np.int64))[0])
+
+
+def finalize_cpp(cfg: int, raw: dict) -> dict:
+    from tantivy_aggregations_tpu.utils import exact
+    if cfg == 1:
+        return {"n": {"value": raw["n"]}, "s": {"value": int(raw["s"])}}
+    if cfg == 2:
+        cnt = raw["cnt"]
+        wc, ws = raw["w_cnt"], int(raw["w_sum"])
+        return {
+            "lo": {"value": None if cnt == 0 else _f64(raw["lo_bits"])},
+            "hi": {"value": None if cnt == 0 else _f64(raw["hi_bits"])},
+            "avg_w": {"value": None if wc == 0 else float(Fraction(ws) / wc),
+                      "sum": ws, "count": wc},
+        }
+    if cfg == 3:
+        return {"h": {"buckets": [
+            {"key": k, "doc_count": c, "s": {"value": int(s)}}
+            for k, c, s in raw["buckets"]]}}
+    if cfg == 4:
+        return {"t": {
+            "buckets": [{"key": k, "doc_count": c, "s": {"value": int(s)},
+                         "n": {"value": c2}}
+                        for k, c, s, c2 in raw["buckets"]],
+            "sum_other_doc_count": int(raw["other"])}}
+    if cfg == 5:
+        m = raw["m"]
+        pcts = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+        values = {}
+        for p, (lo_bits, hi_bits) in zip(pcts, raw["ranks"]):
+            if m == 0:
+                values[str(p)] = None
+                continue
+            lo, hi, frac = exact.percentile_rank(p, m)
+            values[str(p)] = exact.interpolate(_f64(lo_bits), _f64(hi_bits),
+                                               frac)
+        return {
+            "p": {"values": values},
+            "pf": {"doc_count": raw["pf_n"],
+                   "n": {"value": raw["pf_n"]},
+                   "s": {"value": int(raw["pf_sum"])},
+                   "h": {"buckets": [{"key": k, "doc_count": c}
+                                     for k, c in raw["pf_hist"]]}},
+            "t": {"buckets": [{"key": k, "doc_count": c,
+                               "s": {"value": int(s)}}
+                              for k, c, s, *_ in raw["st"]["buckets"]],
+                  "sum_other_doc_count": int(raw["st"]["other"])},
+        }
+    raise ValueError(cfg)
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="100k docs")
+    ap.add_argument("--docs", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--segments", type=int, default=1)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    n_docs = args.docs or (100_000 if args.smoke else 10_000_000)
+    reps = args.reps or (5 if args.smoke else 10)
+    cpp_reps = 3
+
+    from tantivy_aggregations_tpu.models import flagship
+    idx, path = ensure_index(n_docs, args.segments)
+    import jax
+    log(f"[bench] engine devices: {jax.devices()}")
+
+    # --- C++ single-core baseline -----------------------------------------
+    cpp_results, cpp_secs = {}, {}
+    if not args.skip_baseline:
+        exe = build_baseline()
+        manifest = write_manifest(idx, path)
+        for cfg in range(1, 6):
+            t0 = time.time()
+            out = subprocess.run([exe, manifest, str(cfg), str(cpp_reps)],
+                                 capture_output=True, text=True, check=True)
+            j = json.loads(out.stdout)
+            cpp_results[cfg] = finalize_cpp(cfg, j["result"])
+            cpp_secs[cfg] = j["seconds"]
+            log(f"[bench] cpp c{cfg}: best {j['seconds']*1000:.1f}ms "
+                f"(wall {time.time()-t0:.1f}s)")
+
+    # --- TPU engine --------------------------------------------------------
+    searcher = idx.searcher()
+    configs = flagship.judged_configs()
+    tpu_p50, tpu_qtime, tpu_results = {}, {}, {}
+    for i, (name, query, aggs) in enumerate(configs, start=1):
+        t0 = time.time()
+        r = searcher.agg_search(query, aggs)  # compile + first run
+        log(f"[bench] tpu c{i} first call {time.time()-t0:.1f}s")
+        # sequential p50 latency (includes per-call dispatch round-trip)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            r = searcher.agg_search(query, aggs)
+            times.append(time.time() - t0)
+        tpu_results[i] = r
+        tpu_p50[i] = statistics.median(times)
+        # pipelined throughput (dispatch all, then harvest all) — the
+        # serving pattern; per-query wall time is what qps is built from
+        t0 = time.time()
+        outs = searcher.agg_search_batch([(query, aggs)] * reps)
+        batch_t = (time.time() - t0) / reps
+        assert all(o == r for o in outs)
+        tpu_qtime[i] = batch_t
+        log(f"[bench] tpu c{i} ({name}): p50 {tpu_p50[i]*1000:.1f}ms, "
+            f"pipelined {batch_t*1000:.1f}ms/q")
+
+    # --- identity gate -----------------------------------------------------
+    if cpp_results:
+        for cfg in range(1, 6):
+            if tpu_results[cfg] != cpp_results[cfg]:
+                log(f"[bench] MISMATCH config {cfg}!")
+                log(f"  tpu: {json.dumps(tpu_results[cfg])[:2000]}")
+                log(f"  cpp: {json.dumps(cpp_results[cfg])[:2000]}")
+                raise SystemExit(1)
+        log("[bench] identity gate: all 5 configs EQUAL (tpu == cpp)")
+
+    # --- report ------------------------------------------------------------
+    qps = {i: 1.0 / tpu_qtime[i] for i in tpu_qtime}
+    geo_qps = math.exp(sum(math.log(v) for v in qps.values()) / len(qps))
+    if cpp_secs:
+        speedups = {i: cpp_secs[i] / tpu_qtime[i] for i in cpp_secs}
+        geo_speedup = math.exp(
+            sum(math.log(v) for v in speedups.values()) / len(speedups))
+        for i in sorted(speedups):
+            log(f"[bench] c{i}: {qps[i]:.1f} qps, {speedups[i]:.1f}x vs cpp "
+                f"(p50 latency {tpu_p50[i]*1000:.1f}ms)")
+    else:
+        geo_speedup = 0.0
+    print(json.dumps({
+        "metric": f"agg qps geomean (pipelined), 5 judged configs, {n_docs} "
+                  f"docs, identical-results gate vs single-core C++ baseline",
+        "value": round(geo_qps, 3),
+        "unit": "qps",
+        "vs_baseline": round(geo_speedup, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

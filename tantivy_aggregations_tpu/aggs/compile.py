@@ -156,13 +156,86 @@ class Program:
     # -- public ---------------------------------------------------------------
 
     def run(self, query: Q.Query, aggs: Dict[str, A.Agg]):
+        return self.finalize(self.submit(query, aggs), aggs)
+
+    def submit(self, query: Q.Query, aggs: Dict[str, A.Agg]):
+        """Dispatch the device program asynchronously; returns raw device
+        outputs. Pipelining submits (submit N, then finalize N) hides
+        dispatch latency — the production serving pattern."""
         params = qc.extract_params(query, self.dindex)
         self._extract_filter_params(aggs, ("a",), params)
-        raw = self._fn(params, self._arrays)
-        out = {}
-        for name, agg in aggs.items():
-            out[name] = self._harvest(agg, raw[name], ("a", name), ())
-        return out
+        return self._fn(params, self._arrays)
+
+    def finalize(self, raw, aggs: Dict[str, A.Agg]):
+        stripped, big = self.fetch_strip(aggs, raw)
+        host = jax.device_get(stripped)
+        gathers = self.percentile_gathers(host, big)
+        if gathers:
+            self.attach_percentiles(host, jax.device_get(gathers))
+        return self.harvest_host(host, aggs)
+
+    def harvest_host(self, host, aggs: Dict[str, A.Agg]):
+        return {name: self._harvest(agg, host[name], ("a", name), ())
+                for name, agg in aggs.items()}
+
+    # -- batched device->host transfer ----------------------------------------
+    # One device_get for everything except percentile sort arrays (big);
+    # those get a second round: indices derived from the fetched counts, all
+    # node gathers dispatched async, one more device_get. Total: 2 transfers
+    # per query regardless of bucket counts (the naive per-bucket fetch costs
+    # one round-trip per bucket — catastrophic over a remote device link).
+
+    def fetch_strip(self, aggs, raw):
+        """Split raw outputs into (small tree to fetch, big device arrays)."""
+        big = {}  # path -> sorted device array
+
+        def strip(node, r, path):
+            if isinstance(node, dict) or isinstance(node, tuple):
+                items = node.items() if isinstance(node, dict) else node
+                return {n: strip(s, r[n], path + (n,)) for n, s in items}
+            if isinstance(node, A.PercentilesAgg):
+                big[path] = r["sorted"]
+                return {"m": r["m"]}
+            if isinstance(node, (A.HistogramAgg, A.TermsAgg,
+                                 A.FilterAgg, A.PostFilterAgg)):
+                out = {k: v for k, v in r.items()
+                       if not isinstance(v, dict)}
+                for n, s in node.sub_aggs:
+                    out[n] = strip(s, r[n], path + (n,))
+                return out
+            return r
+
+        return {n: strip(s, raw[n], ("a", n)) for n, s in aggs.items()}, big
+
+    @staticmethod
+    def _node_at(host, path):
+        node = host
+        for k in path[1:]:
+            node = node[k]
+        return node
+
+    def percentile_gathers(self, host, big):
+        """Dispatch (async) the rank gathers for every percentile node;
+        returns {path: device array} to be fetched in one device_get."""
+        gathers = {}
+        for path, srt in big.items():
+            node_host = self._node_at(host, path)
+            m = int(node_host["m"])
+            percents = self.plan[path]["percents"]
+            idxs, fracs = [], []
+            for q in percents:
+                if m == 0:
+                    idxs.extend([0, 0]); fracs.append(0.0)
+                else:
+                    lo, hi, frac = exact.percentile_rank(q, m)
+                    idxs.extend([lo, hi]); fracs.append(frac)
+            gathers[path] = _take(srt, jnp.asarray(idxs, jnp.int32))
+            node_host["_fracs"] = fracs
+        return gathers
+
+    def attach_percentiles(self, host, got):
+        for path, vals in got.items():
+            self._node_at(host, path)["pvals"] = vals
 
     # -- planning -------------------------------------------------------------
 
@@ -726,21 +799,15 @@ class Program:
     def _harvest_percentiles(self, node, raw, path):
         p = self.plan[path]
         ftype = p["ftype"]
-        m = int(np.asarray(raw["m"]))
+        m = int(raw["m"])
         if m == 0:
             return {"values": {str(q): None for q in node.percents}}
-        idxs = []
-        ranks = []
-        for q in node.percents:
-            lo, hi, frac = exact.percentile_rank(q, m)
-            idxs.extend([lo, hi])
-            ranks.append(frac)
-        got = np.asarray(_take(raw["sorted"], jnp.asarray(idxs, jnp.int32)))
+        got, fracs = raw["pvals"], raw["_fracs"]
         out = {}
         for i, q in enumerate(node.percents):
             v_lo = self._user(ftype, got[2 * i])
             v_hi = self._user(ftype, got[2 * i + 1])
-            out[str(q)] = exact.interpolate(float(v_lo), float(v_hi), ranks[i])
+            out[str(q)] = exact.interpolate(float(v_lo), float(v_hi), fracs[i])
         return {"values": out}
 
     def _harvest_histogram(self, node, raw, path, prefix):
@@ -798,12 +865,10 @@ class Program:
                 "sum_other_doc_count": total_here - shown}
 
     def _harvest_top_hits(self, node, raw, path):
-        m = int(np.asarray(raw["m"]))
+        m = int(raw["m"])
         k = min(node.size, m)
-        keys = np.asarray(_take(raw["keys"], jnp.arange(k, dtype=jnp.int32))) \
-            if k else np.zeros(0, np.int64)
-        docs = np.asarray(_take(raw["docs"], jnp.arange(k, dtype=jnp.int32))) \
-            if k else np.zeros(0, np.int64)
+        keys = np.asarray(raw["keys"])[:k]
+        docs = np.asarray(raw["docs"])[:k]
         col = self._col(node.sort_field)
         starts = self.dindex.seg_starts
         hits = []

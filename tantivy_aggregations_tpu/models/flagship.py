@@ -98,7 +98,8 @@ def judged_configs():
                          sub_aggs={"s": sum_agg("amount"),
                                    "n": count_agg()})}),
         ("c5_percentiles_mixed_postfilter",
-         BooleanQuery(must=[RangeQuery("amount", lower=100, upper=9000)]),
+         BooleanQuery(must=[RangeQuery("amount", lower=100, upper=9000,
+                                       include_upper=True)]),
          {"p": percentiles_agg("price"),
           "pf": post_filter_agg(TermQuery("status", "active"),
                                 sub_aggs={"n": count_agg(),

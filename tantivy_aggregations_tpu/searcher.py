@@ -36,10 +36,7 @@ class Searcher:
 
     # -- entry point -----------------------------------------------------------
 
-    def agg_search(self, query: query_ir.Query,
-                   aggs: Dict[str, agg_ir.Agg]) -> Dict[str, dict]:
-        """Run `aggs` over docs matching `query`; returns host-side fruits
-        bit-identical to OracleSearcher.agg_search on the same index."""
+    def _program_for(self, query, aggs):
         from .aggs.compile import get_program
         dindex = self._get_device_index()
         key = (query_ir.structural_key(query), agg_ir.structural_key(aggs))
@@ -47,4 +44,38 @@ class Searcher:
         if prog is None:
             prog = get_program(dindex, query, aggs)
             self._programs[key] = prog
-        return prog.run(query, aggs)
+        return prog
+
+    def agg_search(self, query: query_ir.Query,
+                   aggs: Dict[str, agg_ir.Agg]) -> Dict[str, dict]:
+        """Run `aggs` over docs matching `query`; returns host-side fruits
+        bit-identical to OracleSearcher.agg_search on the same index."""
+        return self._program_for(query, aggs).run(query, aggs)
+
+    def agg_search_batch(self, requests) -> list:
+        """Pipelined execution of [(query, aggs), ...]: all device programs
+        are dispatched asynchronously before any result is fetched, hiding
+        per-call dispatch latency (the serving-throughput pattern; the
+        reference is strictly synchronous per query, SURVEY.md §3.1)."""
+        import jax
+        submitted = []
+        for query, aggs in requests:
+            prog = self._program_for(query, aggs)
+            submitted.append((prog, prog.submit(query, aggs), aggs))
+        # ONE device->host transfer for all queries' small fruits, then one
+        # more for all percentile rank gathers (instead of 1-2 round-trips
+        # per query — the transfer link dominates small-result latency)
+        strippeds = []
+        for prog, raw, aggs in submitted:
+            strippeds.append(prog.fetch_strip(aggs, raw))
+        hosts = jax.device_get([s for s, _ in strippeds])
+        all_gathers = []
+        for (prog, raw, aggs), host, (_, big) in zip(submitted, hosts,
+                                                     strippeds):
+            all_gathers.append(prog.percentile_gathers(host, big))
+        if any(all_gathers):
+            got = jax.device_get(all_gathers)
+            for (prog, raw, aggs), host, g in zip(submitted, hosts, got):
+                prog.attach_percentiles(host, g)
+        return [prog.harvest_host(host, aggs)
+                for (prog, raw, aggs), host in zip(submitted, hosts)]
