@@ -1,37 +1,40 @@
-"""Agg-tree compiler: IR -> one fused jitted device program + host harvest.
+"""Agg-tree compiler v2: IR -> one fused jitted device program + host harvest.
 
-This is the TPU-native replacement for the reference's trait triple
-(SURVEY.md §2.1 C2: Agg -> PreparedAgg -> SegmentAgg):
+TPU-native replacement for the reference's Agg/PreparedAgg/SegmentAgg triple
+(SURVEY.md §2.1 C2, §3.1): `plan` resolves fields and picks an execution
+MODE per node from static index metadata; the traced function evaluates the
+whole tree as masked/bucketed reductions; `harvest` reconstructs exact
+user-domain fruits (bit-identical to the oracle).
 
-- **plan** (= `prepare`): host walk of the (query, agg tree) pair against the
-  device index's static metadata. Resolves fields, picks exact-sum strategies,
-  computes static bucket layouts (histogram k-range, terms cardinality),
-  records which device arrays the program needs.
-- **trace** (= `for_segment` + `collect`): a single traced function that
-  materializes the query mask and evaluates every agg as masked/segmented
-  reductions. There is no per-segment anything: the doc axis is the
-  concatenated index, and bucket fruits live in dense global-ordinal arrays,
-  so the reference's per-segment fruit merge (SURVEY.md §3.2) disappears
-  into plain vectorized adds.
-- **harvest** (= fruit -> user result): converts exact integer outputs back
-  to user-domain values with the shared helpers in utils/exact.py, making
-  results bit-identical to the oracle.
+Execution modes (selected per node at plan time; see ops/reductions.py for
+the measured hardware rationale):
 
-Sub-agg nesting compiles to composite bucket slots: a child bucket agg under
-a parent with flat slot space P and child cardinality C scatters into P*C
-(SURVEY.md §7 step 4 "nesting is just a wider scatter index").
+- metrics: two-stage exact reductions over int32 planes; multi-valued
+  fields reduce STATIC per-doc pre-aggregates in doc space (no per-query
+  value-row gathers).
+- histogram / small-cardinality terms ("dense"): blocked one-hot
+  compare-reduce, composite slots for nesting (nb_flat <= DENSE_NB).
+- high-cardinality terms ("prefix"): bucket-sorted OrderedLayout; the query
+  mask is evaluated directly in permuted space over cached permuted column
+  planes; per-bucket totals come from 32-block sums + a small int64 cumsum
+  + bounds-gather differences. No sort, no scatter, no big gather.
+- percentiles ("rank"): value-sorted OrderedLayout + coarse prefix counts;
+  rank rows are resolved in a tiny second-phase program and mapped to
+  values on the host. ("sort" fallback reconstructs int64 and sorts.)
+- "scatter" fallback for everything else (the sharded mesh path runs on it
+  plus the dense mode; XLA:CPU executes scatters well).
 
-v1 documented limits (oracle supports these; device raises NotImplemented):
-- percentiles / top_hits under bucket aggs,
-- a bucket agg nested under a MULTI-VALUED bucket field (the cross-product
-  expansion case); metric sub-aggs under multi-valued parents are supported
-  via per-doc pre-aggregation.
+Nesting compiles to composite bucket slots (SURVEY.md §7 step 4). v1 device
+limits (oracle supports all of these; device raises NotImplementedError):
+percentiles/top_hits under bucket aggs; bucket aggs nested under a
+multi-valued bucket field.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from fractions import Fraction
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,31 +46,34 @@ from ..query import ir as Q
 from ..schema import FieldType
 from ..ops import reductions as R
 from ..utils import exact, mono as mono_mod
-from ..utils.mono import MONO_NEG_INF, MONO_POS_INF
 
+I32 = jnp.int32
 I64 = jnp.int64
-MAX_TERMS_CARD = 1 << 27  # composite top-k key budget: count<2^36, id<2^27
+I64_MAX = 2**63 - 1
+MAX_TERMS_CARD = 1 << 27
+DENSE_NB = 256  # one-hot bucket budget (O(rows * nb) VPU work)
 
 
-# ---------------------------------------------------------------------------
-# Contexts
-# ---------------------------------------------------------------------------
+def _wrap64(x: int) -> int:
+    return ((x + 2**63) % 2**64) - 2**63
+
 
 @dataclass
 class MaskCtx:
     mask: object  # [T] bool
+    chain: tuple  # ((query, param path), ...) incl. root; for permuted views
 
 
 @dataclass
 class SlotCtx:
-    doc: object        # [P] int32 contribution rows
-    slot: object       # [P] int32 flat composite slot
-    valid: object      # [P] bool
-    dims: Tuple[int, ...]  # slot-space shape; flat size = prod(dims)
-    # set when every contribution is a single-valued per-doc row, enabling
-    # further bucket nesting:
-    slot_of_doc: object = None        # [T] int32
-    slot_valid_of_doc: object = None  # [T] bool
+    bid: object          # [rows] int32 flat composite slot (<0 = no slot)
+    valid: object        # [rows] bool
+    dims: Tuple[int, ...]
+    rows_are_docs: bool  # payload planes align with rows directly
+    doc: object          # [rows] int32 doc per row (None iff rows_are_docs)
+    mode: str            # "dense" | "scatter"
+    slot_of_doc: object = None
+    slot_valid_of_doc: object = None
 
     @property
     def nslots(self) -> int:
@@ -77,41 +83,25 @@ class SlotCtx:
         return n
 
 
-def _prod(dims) -> int:
-    n = 1
-    for d in dims:
-        n *= d
-    return n
-
-
-# ---------------------------------------------------------------------------
-# Program
-# ---------------------------------------------------------------------------
-
 class Program:
-    """Compiled (query shape, agg tree shape, index epoch) triple."""
-
     def __init__(self, dindex, query: Q.Query, aggs: Dict[str, A.Agg]):
         A.validate_agg_tree(dindex.schema, aggs)
         self.dindex = dindex
+        self._sharded = dindex.mesh is not None
         self.plan: Dict[tuple, dict] = {}
         self._arrays: Dict[str, object] = {"alive": dindex.alive}
-        # host planning walk (static decisions + array collection)
+        self._root_chain = ((query, ("q",)),)
         self._plan_aggs(aggs, ("a",), in_slot=False, parent_single=True,
-                        hdims=(), tflat=1)
+                        hdims=(), tflat=1, chain=self._root_chain)
         self._collect_query_arrays(query)
 
-        self._sharded = dindex.mesh is not None
-
         def fn(params, arrays):
-            self._lT = arrays["alive"].shape[0]  # local doc-axis length
-            mask = qc.eval_mask(query, dindex, params, T=self._lT,
-                                arrays=arrays) & arrays["alive"]
-            ctx = MaskCtx(mask)
-            out = {}
-            for name, agg in aggs.items():
-                out[name] = self._eval(agg, ctx, params, arrays, ("a", name))
-            return out
+            self._lT = arrays["alive"].shape[0]
+            mask = qc.eval_mask(query, dindex, params, ("q",), self._lT,
+                                arrays) & (arrays["alive"] > 0)
+            ctx = MaskCtx(mask, self._root_chain)
+            return {name: self._eval(agg, ctx, params, arrays, ("a", name))
+                    for name, agg in aggs.items()}
 
         if self._sharded:
             from jax.sharding import PartitionSpec as P
@@ -120,53 +110,22 @@ class Program:
             fn = jax.shard_map(fn, mesh=dindex.mesh,
                                in_specs=(P(), arr_specs), out_specs=P(),
                                check_vma=False)
-        self.raw_fn = fn  # unjitted (for compile checks / entry points)
+        self.raw_fn = fn
         self._fn = jax.jit(fn)
-        self._query = query
-        self._aggs = aggs
 
-    # -- cross-shard merges (ICI collectives; no-ops on one chip) -------------
+    # ======================================================================
+    # public
+    # ======================================================================
 
-    def _madd(self, x):
-        return jax.lax.psum(x, "d") if self._sharded else x
-
-    def _mmin(self, x):
-        if not self._sharded:
-            return x
-        g = jax.lax.all_gather(x, "d", tiled=False)
-        return jnp.min(g, axis=0)
-
-    def _mmax(self, x):
-        if not self._sharded:
-            return x
-        g = jax.lax.all_gather(x, "d", tiled=False)
-        return jnp.max(g, axis=0)
-
-    def _merge_metric(self, out):
-        if "cnt" in out:
-            out["cnt"] = self._madd(out["cnt"])
-        if "sum" in out:
-            out["sum"] = self._madd(out["sum"])
-        if "min" in out:
-            out["min"] = self._mmin(out["min"])
-        if "max" in out:
-            out["max"] = self._mmax(out["max"])
-        return out
-
-    # -- public ---------------------------------------------------------------
-
-    def run(self, query: Q.Query, aggs: Dict[str, A.Agg]):
+    def run(self, query, aggs):
         return self.finalize(self.submit(query, aggs), aggs)
 
-    def submit(self, query: Q.Query, aggs: Dict[str, A.Agg]):
-        """Dispatch the device program asynchronously; returns raw device
-        outputs. Pipelining submits (submit N, then finalize N) hides
-        dispatch latency — the production serving pattern."""
+    def submit(self, query, aggs):
         params = qc.extract_params(query, self.dindex)
         self._extract_filter_params(aggs, ("a",), params)
         return self._fn(params, self._arrays)
 
-    def finalize(self, raw, aggs: Dict[str, A.Agg]):
+    def finalize(self, raw, aggs):
         stripped, big = self.fetch_strip(aggs, raw)
         host = jax.device_get(stripped)
         gathers = self.percentile_gathers(host, big)
@@ -174,241 +133,366 @@ class Program:
             self.attach_percentiles(host, jax.device_get(gathers))
         return self.harvest_host(host, aggs)
 
-    def harvest_host(self, host, aggs: Dict[str, A.Agg]):
+    def harvest_host(self, host, aggs):
         return {name: self._harvest(agg, host[name], ("a", name), ())
                 for name, agg in aggs.items()}
 
-    # -- batched device->host transfer ----------------------------------------
-    # One device_get for everything except percentile sort arrays (big);
-    # those get a second round: indices derived from the fetched counts, all
-    # node gathers dispatched async, one more device_get. Total: 2 transfers
-    # per query regardless of bucket counts (the naive per-bucket fetch costs
-    # one round-trip per bucket — catastrophic over a remote device link).
+    # ======================================================================
+    # merges (cross-shard collectives; no-ops on one chip)
+    # ======================================================================
 
-    def fetch_strip(self, aggs, raw):
-        """Split raw outputs into (small tree to fetch, big device arrays)."""
-        big = {}  # path -> sorted device array
+    def _madd(self, x):
+        return jax.lax.psum(x, "d") if self._sharded else x
 
-        def strip(node, r, path):
-            if isinstance(node, dict) or isinstance(node, tuple):
-                items = node.items() if isinstance(node, dict) else node
-                return {n: strip(s, r[n], path + (n,)) for n, s in items}
-            if isinstance(node, A.PercentilesAgg):
-                big[path] = r["sorted"]
-                return {"m": r["m"]}
-            if isinstance(node, (A.HistogramAgg, A.TermsAgg,
-                                 A.FilterAgg, A.PostFilterAgg)):
-                out = {k: v for k, v in r.items()
-                       if not isinstance(v, dict)}
-                for n, s in node.sub_aggs:
-                    out[n] = strip(s, r[n], path + (n,))
-                return out
-            return r
+    def _mmin(self, x):
+        if not self._sharded:
+            return x
+        return jnp.min(jax.lax.all_gather(x, "d", tiled=False), axis=0)
 
-        return {n: strip(s, raw[n], ("a", n)) for n, s in aggs.items()}, big
+    def _mmax(self, x):
+        if not self._sharded:
+            return x
+        return jnp.max(jax.lax.all_gather(x, "d", tiled=False), axis=0)
 
-    @staticmethod
-    def _node_at(host, path):
-        node = host
-        for k in path[1:]:
-            node = node[k]
-        return node
+    # ======================================================================
+    # planning
+    # ======================================================================
 
-    def percentile_gathers(self, host, big):
-        """Dispatch (async) the rank gathers for every percentile node;
-        returns {path: device array} to be fetched in one device_get."""
-        gathers = {}
-        for path, srt in big.items():
-            node_host = self._node_at(host, path)
-            m = int(node_host["m"])
-            percents = self.plan[path]["percents"]
-            idxs, fracs = [], []
-            for q in percents:
-                if m == 0:
-                    idxs.extend([0, 0]); fracs.append(0.0)
-                else:
-                    lo, hi, frac = exact.percentile_rank(q, m)
-                    idxs.extend([lo, hi]); fracs.append(frac)
-            gathers[path] = _take(srt, jnp.asarray(idxs, jnp.int32))
-            node_host["_fracs"] = fracs
-        return gathers
-
-    def attach_percentiles(self, host, got):
-        for path, vals in got.items():
-            self._node_at(host, path)["pvals"] = vals
-
-    # -- planning -------------------------------------------------------------
-
-    def _col(self, field: str):
+    def _col(self, field):
         return self.dindex.column(field)
 
-    def _need(self, key: str, arr) -> None:
+    def _need(self, key, arr):
         self._arrays[key] = arr
 
-    def _need_col_rows(self, col) -> None:
-        self._need(f"{col.name}:mono", col.mono)
+    def _need_col_planes(self, col):
+        if col.narrow or col.ftype == FieldType.KEYWORD:
+            self._need(f"{col.name}:w", col.w)
+        else:
+            self._need(f"{col.name}:hi", col.hi)
+            self._need(f"{col.name}:lo", col.lo)
         if col.multi:
             self._need(f"{col.name}:doc", col.doc_id)
             self._need(f"{col.name}:valid", col.valid)
 
-    def _collect_query_arrays(self, q: Q.Query) -> None:
+    def _collect_query_arrays(self, q):
         if isinstance(q, Q.BooleanQuery):
             for c in (*q.must, *q.should, *q.must_not):
                 self._collect_query_arrays(c)
         elif isinstance(q, (Q.TermQuery, Q.RangeQuery)):
-            self._need_col_rows(self._col(q.field))
+            self._need_col_planes(self._col(q.field))
 
-    def _plan_metric(self, node, path, hdims) -> None:
-        col = self._col(node.field)
-        self._need_col_rows(col)
-        needs_sum = isinstance(node, (A.SumAgg, A.AvgAgg, A.StatsAgg))
-        p = {"kind": "metric", "ftype": col.ftype, "multi": col.multi,
-             "direct": col.sum_direct, "min_mono": col.min_mono,
-             "min_user": col.min_user() if col.ftype != FieldType.F64 else None,
-             "base": col.f64_base_exp, "L": col.sum_n_limbs, "hdims": hdims}
-        if needs_sum and not col.sum_direct:
-            self._need(f"{node.field}:limbs", col.sum_limbs())
-        self.plan[path] = p
+    def _chain_fields(self, chain):
+        out = set()
+        for q, _ in chain:
+            qc.query_fields(q, out)
+        return out
 
-    def _plan_aggs(self, node, path, *, in_slot: bool, parent_single: bool,
-                   hdims: tuple, tflat: int) -> None:
-        if isinstance(node, dict) or isinstance(node, tuple):
+    def _chain_is_dense(self, chain) -> bool:
+        return all(not self._col(f).multi for f in self._chain_fields(chain))
+
+    # -- permuted views ------------------------------------------------------
+
+    def _build_permuted_view(self, layout, prefix, chain, payload_fields):
+        """Materialize (cached on the layout) permuted planes for mask
+        evaluation + metric payloads; register them as array inputs."""
+        perm = layout.perm
+
+        def cache(key, build):
+            if key not in layout.cache:
+                layout.cache[key] = jnp.asarray(build())
+            self._need(prefix + key, layout.cache[key])
+
+        cache("alive", lambda: self.dindex.alive_host[perm])
+        self._need(prefix + "lvalid", layout.valid_perm)
+        for f in self._chain_fields(chain):
+            colf = self._col(f)
+            if colf.multi:
+                raise NotImplementedError("CSR query field in permuted view")
+            hp = self._host_planes(colf)
+            if colf.narrow or colf.ftype == FieldType.KEYWORD:
+                cache(f"{f}:w", lambda hp=hp: hp[0][perm])
+            else:
+                cache(f"{f}:hi", lambda hp=hp: hp[0][perm])
+                cache(f"{f}:lo", lambda hp=hp: hp[1][perm])
+        for g in payload_fields:
+            colg = self._col(g)
+            if colg.multi:
+                pre = self._doc_preagg_host(colg)
+                cache(f"pay:{g}:cnt", lambda pre=pre: pre["cnt"][perm])
+                for i in range(pre["sum"].shape[1]):
+                    cache(f"pay:{g}:s{i}",
+                          lambda pre=pre, i=i: pre["sum"][perm, i])
+                self.plan.setdefault(("payL", prefix, g),
+                                     {"L": pre["sum"].shape[1]})
+            elif colg.sum_direct:
+                hp = self._host_planes(colg)
+                cache(f"pay:{g}:s0", lambda hp=hp: hp[0][perm])
+                self.plan.setdefault(("payL", prefix, g), {"L": 1})
+            else:
+                limbs = self._sum_limbs_host(colg)
+                for i in range(limbs.shape[1]):
+                    cache(f"pay:{g}:s{i}", lambda limbs=limbs, i=i: limbs[perm, i])
+                self.plan.setdefault(("payL", prefix, g),
+                                     {"L": limbs.shape[1]})
+
+    def _host_planes(self, col):
+        if getattr(col, "_host_planes_cache", None) is None:
+            from ..index.loader import _mono_planes
+            if col.ftype == FieldType.KEYWORD:
+                a = np.where(col._host_valid, col._host_mono, -1) \
+                    .astype(np.int32)
+                col._host_planes_cache = (a, None)
+            else:
+                _, a, b = _mono_planes(col._host_mono, col.min_mono, col.span)
+                col._host_planes_cache = (a, b)
+        return col._host_planes_cache
+
+    def _sum_limbs_host(self, col):
+        if getattr(col, "_sum_limbs_host_cache", None) is None:
+            col._sum_limbs_host_cache = col.sum_limbs_host()
+        return col._sum_limbs_host_cache
+
+    def _doc_preagg_host(self, col):
+        return col.doc_preagg_host(self.dindex.T)
+
+    def _need_preagg(self, col, need_sum, need_minmax):
+        from ..index.loader import _put
+        pre = self._doc_preagg_host(col)
+        mesh = self.dindex.mesh
+        key = f"{col.name}:pre:"
+        if key + "cnt" not in self._arrays:
+            self._need(key + "cnt", _put(pre["cnt"], mesh))
+        if need_sum and key + "sum" not in self._arrays:
+            self._need(key + "sum", _put(pre["sum"], mesh, 2))
+        if need_minmax:
+            if col.narrow:
+                self._need(key + "minA", _put(pre["minA"], mesh))
+                self._need(key + "maxA", _put(pre["maxA"], mesh))
+            else:
+                for nm in ("minA", "minB", "maxA", "maxB"):
+                    self._need(key + nm, _put(pre[nm], mesh))
+
+    # -- node planners -------------------------------------------------------
+
+    def _plan_aggs(self, node, path, *, in_slot, parent_single, hdims, tflat,
+                   chain):
+        if isinstance(node, (dict, tuple)):
             items = node.items() if isinstance(node, dict) else node
             for name, sub in items:
                 self._plan_aggs(sub, path + (name,), in_slot=in_slot,
                                 parent_single=parent_single, hdims=hdims,
-                                tflat=tflat)
+                                tflat=tflat, chain=chain)
             return
         if isinstance(node, A.CountAgg):
             self.plan[path] = {"kind": "count", "hdims": hdims}
             return
-        if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg, A.StatsAgg)):
+        if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg,
+                             A.StatsAgg)):
             self._plan_metric(node, path, hdims)
             return
         if isinstance(node, A.PercentilesAgg):
             if in_slot:
                 raise NotImplementedError(
-                    "percentiles under bucket aggs not supported on device yet")
-            col = self._col(node.field)
-            self._need_col_rows(col)
-            self.plan[path] = {"kind": "percentiles", "ftype": col.ftype,
-                               "multi": col.multi, "percents": node.percents,
-                               "hdims": hdims}
+                    "percentiles under bucket aggs not supported on device")
+            self._plan_percentiles(node, path, hdims, chain)
             return
         if isinstance(node, A.HistogramAgg):
             self._plan_histogram(node, path, in_slot=in_slot,
                                  parent_single=parent_single, hdims=hdims,
-                                 tflat=tflat)
+                                 tflat=tflat, chain=chain)
             return
         if isinstance(node, A.TermsAgg):
             self._plan_terms(node, path, in_slot=in_slot,
                              parent_single=parent_single, hdims=hdims,
-                             tflat=tflat)
+                             tflat=tflat, chain=chain)
             return
         if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
             self._collect_query_arrays(node.query)
             self.plan[path] = {"kind": "filter", "hdims": hdims}
+            sub_chain = chain + ((node.query, path + ("fq",)),)
             self._plan_aggs(node.sub_aggs, path, in_slot=in_slot,
                             parent_single=parent_single, hdims=hdims,
-                            tflat=tflat)
+                            tflat=tflat, chain=sub_chain)
             return
         if isinstance(node, A.TopHitsAgg):
             if in_slot:
                 raise NotImplementedError(
-                    "top_hits under bucket aggs not supported on device yet")
+                    "top_hits under bucket aggs not supported on device")
             col = self._col(node.sort_field)
             if col.multi:
                 raise TypeError("top_hits sort field must be single-valued")
-            self._need_col_rows(col)
+            self._need_col_planes(col)
             self.plan[path] = {"kind": "top_hits", "hdims": hdims,
-                               "k": min(node.size, self.dindex.T)}
+                               "k": min(node.size, self.dindex.T),
+                               "narrow": col.narrow,
+                               "min_mono": col.min_mono,
+                               "ftype": col.ftype}
             return
         raise TypeError(f"unknown agg {type(node)!r}")
 
-    def _plan_histogram(self, node, path, *, in_slot: bool, parent_single: bool,
-                        hdims: tuple, tflat: int):
-        if in_slot and not parent_single:
-            raise NotImplementedError(
-                "bucket agg nested under a multi-valued bucket field is not "
-                "supported on device (oracle supports it)")
+    @staticmethod
+    def _metric_needs(node):
+        need_min = isinstance(node, (A.MinAgg, A.StatsAgg))
+        need_max = isinstance(node, (A.MaxAgg, A.StatsAgg))
+        need_sum = isinstance(node, (A.SumAgg, A.AvgAgg, A.StatsAgg))
+        return need_min, need_max, need_sum
+
+    def _plan_metric(self, node, path, hdims):
         col = self._col(node.field)
-        self._need_col_rows(col)
-        p = {"kind": "histogram", "ftype": col.ftype, "multi": col.multi}
+        need_min, need_max, need_sum = self._metric_needs(node)
+        p = {"kind": "metric", "ftype": col.ftype, "narrow": col.narrow,
+             "multi": col.multi,
+             "direct": col.sum_direct and not col.multi,
+             "min_mono": col.min_mono,
+             "min_user": (col.min_user() if col.ftype != FieldType.F64
+                          else None),
+             "base": col.f64_base_exp, "hdims": hdims}
+        if col.multi:
+            self._need_preagg(col, need_sum, need_min or need_max)
+        else:
+            self._need_col_planes(col)
+            if need_sum and not col.sum_direct:
+                self._need(f"{node.field}:limbs", col.sum_limbs())
+        self.plan[path] = p
+
+    def _plan_percentiles(self, node, path, hdims, chain):
+        col = self._col(node.field)
+        p = {"kind": "percentiles", "ftype": col.ftype, "narrow": col.narrow,
+             "min_mono": col.min_mono, "percents": node.percents,
+             "hdims": hdims}
+        if (not self._sharded and not col.multi
+                and self._chain_is_dense(chain)):
+            p["pmode"] = "rank"
+            layout = col.value_layout()
+            p["layout"] = layout
+            prefix = f"VL:{node.field}#"
+            p["prefix"] = prefix
+            self._build_permuted_view(layout, prefix, chain, ())
+        else:
+            p["pmode"] = "sort"
+            self._need_col_planes(col)
+        self.plan[path] = p
+
+    def _hist_layout(self, col, node):
         if col.n_values == 0:
-            p.update(mode="empty", k_min=0, nb=1)
-        elif col.ftype == FieldType.F64:
+            return {"hmode": "empty", "k_min": 0, "nb": 1}
+        if col.ftype == FieldType.F64:
             lo = mono_mod.scalar_from_mono("f64", col.min_mono)
             hi = mono_mod.scalar_from_mono("f64", col.max_mono)
-            k_min, bounds = exact.f64_histogram_buckets(
+            k_min, bounds_mono = exact.f64_histogram_buckets(
                 lo, hi, float(node.interval), float(node.offset))
-            p.update(mode="bounds", k_min=k_min, nb=len(bounds) + 1,
-                     bounds=jnp.asarray(bounds))
-        else:
-            iv, off = int(node.interval), int(node.offset)
-            lo = col.min_user()
-            hi = mono_mod.scalar_from_mono(col.ftype.value, col.max_mono)
-            k_min = (lo - off) // iv
-            k_max = (hi - off) // iv
-            nb = k_max - k_min + 1
-            if (hi - off) <= 2**63 - 1 and (lo - off) >= -(2**63):
-                off_mono = col.min_mono - (lo - off)  # mono-domain offset
-                p.update(mode="direct", k_min=k_min, nb=nb,
-                         off_mono=off_mono, interval=iv)
-            else:
-                bounds_user = [off + (k_min + j + 1) * iv for j in range(nb - 1)]
-                bounds = mono_mod.to_mono(
-                    col.ftype.value,
-                    np.asarray(bounds_user,
-                               dtype=np.uint64 if col.ftype in
-                               (FieldType.U64, FieldType.DATE) else np.int64))
-                p.update(mode="bounds", k_min=k_min, nb=nb,
-                         bounds=jnp.asarray(bounds))
-        p["interval_user"] = node.interval
-        p["offset_user"] = node.offset
-        p["hdims"] = hdims
-        entry = self.dindex.schema.field(node.field)
-        p["chain"] = (not col.multi) or entry.cardinality.value == "single"
-        if tflat * p["nb"] >= 2**31:
-            raise ValueError("composite bucket slot space exceeds 2^31")
-        self.plan[path] = p
-        self._plan_aggs(node.sub_aggs, path, in_slot=True,
-                        parent_single=p["chain"], hdims=hdims + (p["nb"],),
-                        tflat=tflat * p["nb"])
+            nb = len(bounds_mono) + 1
+            if nb - 1 > DENSE_NB:
+                raise NotImplementedError(
+                    f"f64 histogram with {nb} buckets exceeds the "
+                    f"compare-sum budget ({DENSE_NB})")
+            # rm domain: rm = (mono - min_mono) - 2^63
+            rb = [_wrap64((int(b) - col.min_mono) - 2**63)
+                  for b in bounds_mono]
+            return {"hmode": "bounds", "k_min": k_min, "nb": nb,
+                    "rbounds": np.asarray(rb, np.int64)}
+        iv, off = int(node.interval), int(node.offset)
+        lo_u = col.min_user()
+        hi_u = mono_mod.scalar_from_mono(col.ftype.value, col.max_mono)
+        k_min = (lo_u - off) // iv
+        k_max = (hi_u - off) // iv
+        nb = k_max - k_min + 1
+        # j = (w - w_base) // iv with w_base = (off + k_min*iv) - lo_u <= 0
+        w_base = (off + k_min * iv) - lo_u
+        span_num = col.span - w_base
+        if col.narrow and span_num <= 2**31 - 1:
+            return {"hmode": "direct32", "k_min": k_min, "nb": nb,
+                    "w_base": int(w_base), "iv": iv}
+        if span_num <= 2**63 - 1:
+            return {"hmode": "direct64", "k_min": k_min, "nb": nb,
+                    "w_base": int(w_base), "iv": iv}
+        raise NotImplementedError("histogram span exceeds 2^63")
 
-    def _plan_terms(self, node, path, *, in_slot: bool, parent_single: bool,
-                    hdims: tuple, tflat: int):
+    def _plan_histogram(self, node, path, *, in_slot, parent_single, hdims,
+                        tflat, chain):
         if in_slot and not parent_single:
             raise NotImplementedError(
-                "bucket agg nested under a multi-valued bucket field is not "
-                "supported on device (oracle supports it)")
+                "bucket agg nested under a multi-valued bucket field")
         col = self._col(node.field)
-        p = {"kind": "terms", "ftype": col.ftype, "multi": col.multi}
+        self._need_col_planes(col)
+        p = {"kind": "histogram", "ftype": col.ftype, "multi": col.multi,
+             "hdims": hdims}
+        p.update(self._hist_layout(col, node))
+        nb = p["nb"]
+        if tflat * nb >= 2**31:
+            raise ValueError("composite bucket slot space exceeds 2^31")
+        p["mode"] = ("dense" if tflat * nb <= DENSE_NB else "scatter")
+        entry = self.dindex.schema.field(node.field)
+        p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
+        self.plan[path] = p
+        for name, sub in node.sub_aggs:
+            self._plan_aggs(sub, path + (name,), in_slot=True,
+                            parent_single=p["chain_ok"],
+                            hdims=hdims + (nb,), tflat=tflat * nb,
+                            chain=chain)
+
+    def _plan_terms(self, node, path, *, in_slot, parent_single, hdims,
+                    tflat, chain):
+        if in_slot and not parent_single:
+            raise NotImplementedError(
+                "bucket agg nested under a multi-valued bucket field")
+        col = self._col(node.field)
+        p = {"kind": "terms", "ftype": col.ftype, "multi": col.multi,
+             "hdims": hdims}
+        self._need_col_planes(col)
         if col.ftype == FieldType.KEYWORD:
-            self._need_col_rows(col)
             card = col.card
-            p["keys"] = col.terms  # host table for harvest
+            p["keys"] = col.terms
         else:
-            self._need_col_rows(col)
             tid, values_mono = col.term_ids()
             self._need(f"{node.field}:tid", tid)
             card = col.card
             p["keys_mono"] = values_mono
         if card > MAX_TERMS_CARD:
-            raise ValueError(f"terms cardinality {card} exceeds {MAX_TERMS_CARD}")
-        p["card"] = card
-        p["keff"] = min(node.size, card)
-        p["hdims"] = hdims
-        entry = self.dindex.schema.field(node.field)
-        p["chain"] = (not col.multi) or entry.cardinality.value == "single"
+            raise ValueError(f"terms cardinality {card} exceeds bound")
         if tflat * card >= 2**31:
             raise ValueError("composite bucket slot space exceeds 2^31")
-        self.plan[path] = p
-        self._plan_aggs(node.sub_aggs, path, in_slot=True,
-                        parent_single=p["chain"], hdims=hdims + (p["keff"],),
-                        tflat=tflat * card)
+        p["card"] = card
+        p["keff"] = min(node.size, card)
+        entry = self.dindex.schema.field(node.field)
+        p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
 
-    def _extract_filter_params(self, node, path, out) -> None:
-        if isinstance(node, dict) or isinstance(node, tuple):
+        sub_kinds_ok = all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
+                           for _, s in node.sub_aggs)
+        if tflat * card <= DENSE_NB:
+            p["mode"] = "dense"
+        elif (not in_slot and not self._sharded and not col.multi
+              and sub_kinds_ok and self._chain_is_dense(chain)):
+            p["mode"] = "prefix"
+            layout = col.bucket_layout()
+            p["layout"] = layout
+            prefix = f"BL:{node.field}#"
+            p["prefix"] = prefix
+            payload_fields = [s.field for _, s in node.sub_aggs
+                              if isinstance(s, (A.SumAgg, A.AvgAgg))]
+            self._build_permuted_view(layout, prefix, chain, payload_fields)
+            self._need(prefix + "bounds32", jnp.asarray(layout.bounds))
+        else:
+            p["mode"] = "scatter"
+        self.plan[path] = p
+        sub_hdims = hdims + (p["keff"],)
+        if p["mode"] == "prefix":
+            # record metric plans for harvest reconstruction
+            for name, sub in node.sub_aggs:
+                if isinstance(sub, A.CountAgg):
+                    self.plan[path + (name,)] = {"kind": "count",
+                                                 "hdims": sub_hdims}
+                else:
+                    self._plan_metric(sub, path + (name,), sub_hdims)
+        else:
+            for name, sub in node.sub_aggs:
+                self._plan_aggs(sub, path + (name,), in_slot=True,
+                                parent_single=p["chain_ok"],
+                                hdims=sub_hdims, tflat=tflat * card,
+                                chain=chain)
+
+    def _extract_filter_params(self, node, path, out):
+        if isinstance(node, (dict, tuple)):
             items = node.items() if isinstance(node, dict) else node
             for name, sub in items:
                 self._extract_filter_params(sub, path + (name,), out)
@@ -421,37 +505,38 @@ class Program:
         if isinstance(node, (A.HistogramAgg, A.TermsAgg)):
             self._extract_filter_params(node.sub_aggs, path, out)
 
-    # -- trace-time evaluation --------------------------------------------------
+    # ======================================================================
+    # trace-time evaluation
+    # ======================================================================
 
-    def _rows(self, field: str, ctx: MaskCtx, arrays):
-        """(vals, vmask, doc) value rows for a field under a doc mask."""
+    def _planes_only(self, field, arrays, rows_doc=None):
         col = self._col(field)
-        vals = arrays[f"{field}:mono"]
-        if col.multi:
-            doc = arrays[f"{field}:doc"]
-            vmask = ctx.mask[doc] & arrays[f"{field}:valid"]
-        else:
-            doc = jnp.arange(self._lT, dtype=jnp.int32)
-            vmask = ctx.mask
-        return vals, vmask, doc
+        g = lambda k: (arrays[f"{field}:{k}"] if rows_doc is None
+                       else arrays[f"{field}:{k}"][rows_doc])
+        if col.narrow or col.ftype == FieldType.KEYWORD:
+            return {"w": g("w")}
+        return {"hi": g("hi"), "lo": g("lo")}
+
+    def _recon_rm(self, field, planes):
+        col = self._col(field)
+        if col.narrow or col.ftype == FieldType.KEYWORD:
+            return planes["w"].astype(I64)
+        return R.wide_recon(planes["hi"], planes["lo"])
 
     def _eval(self, node, ctx, params, arrays, path):
         p = self.plan.get(path)
+
         if isinstance(node, A.CountAgg):
             if isinstance(ctx, MaskCtx):
-                return {"cnt": self._madd(R.masked_count(ctx.mask))}
-            return {"cnt": self._madd(
-                R.slot_count(ctx.slot, ctx.valid, ctx.nslots))}
+                return {"cnt": self._madd(R.ts_count(ctx.mask))}
+            return {"cnt": self._madd(self._slot_counts(ctx))}
 
-        if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg, A.StatsAgg)):
+        if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg,
+                             A.StatsAgg)):
             return self._eval_metric(node, ctx, arrays, p)
 
         if isinstance(node, A.PercentilesAgg):
-            vals, vmask, _ = self._rows(node.field, ctx, arrays)
-            srt = jnp.sort(jnp.where(vmask, vals, MONO_POS_INF))
-            if self._sharded:
-                srt = jnp.sort(jax.lax.all_gather(srt, "d", tiled=True))
-            return {"sorted": srt, "m": self._madd(R.masked_count(vmask))}
+            return self._eval_percentiles(node, ctx, params, arrays, path, p)
 
         if isinstance(node, A.HistogramAgg):
             return self._eval_histogram(node, ctx, params, arrays, path, p)
@@ -461,340 +546,555 @@ class Program:
 
         if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
             fmask = qc.eval_mask(node.query, self.dindex, params,
-                                 path=path + ("fq",), T=self._lT,
-                                 arrays=arrays)
+                                 path + ("fq",), self._lT, arrays)
             out = {}
             if isinstance(ctx, MaskCtx):
-                sub_ctx = MaskCtx(ctx.mask & fmask)
-                out["cnt"] = self._madd(R.masked_count(sub_ctx.mask))
+                sub_ctx = MaskCtx(ctx.mask & fmask,
+                                  ctx.chain + ((node.query,
+                                                path + ("fq",)),))
+                out["cnt"] = self._madd(R.ts_count(sub_ctx.mask))
             else:
-                valid = ctx.valid & fmask[ctx.doc]
-                sv = None if ctx.slot_valid_of_doc is None else (
-                    ctx.slot_valid_of_doc & fmask)
-                sub_ctx = SlotCtx(ctx.doc, ctx.slot, valid, ctx.dims,
-                                  ctx.slot_of_doc, sv)
-                out["cnt"] = self._madd(
-                    R.slot_count(ctx.slot, valid, ctx.nslots))
+                fr = fmask if ctx.rows_are_docs else fmask[ctx.doc]
+                valid = ctx.valid & fr
+                svd = None if ctx.slot_valid_of_doc is None else \
+                    ctx.slot_valid_of_doc & fmask
+                sub_ctx = SlotCtx(ctx.bid, valid, ctx.dims,
+                                  ctx.rows_are_docs, ctx.doc, ctx.mode,
+                                  ctx.slot_of_doc, svd)
+                out["cnt"] = self._madd(self._slot_counts(sub_ctx))
             for name, sub in node.sub_aggs:
                 out[name] = self._eval(sub, sub_ctx, params, arrays,
                                        path + (name,))
             return out
 
         if isinstance(node, A.TopHitsAgg):
-            vals = arrays[f"{node.sort_field}:mono"]
-            key = jnp.where(ctx.mask, ~vals if not node.ascending else vals,
-                            MONO_POS_INF)
-            doc = jnp.arange(self._lT, dtype=jnp.int64)
-            if self._sharded:
-                doc = doc + jax.lax.axis_index("d").astype(I64) * self._lT
-            sk, sd = jax.lax.sort((key, doc), num_keys=2)
-            k = min(self.plan[path]["k"], self._lT)
-            sk, sd = sk[:k], sd[:k]
-            if self._sharded:
-                sk = jax.lax.all_gather(sk, "d", tiled=True)
-                sd = jax.lax.all_gather(sd, "d", tiled=True)
-                sk, sd = jax.lax.sort((sk, sd), num_keys=2)
-                kk = self.plan[path]["k"]
-                sk, sd = sk[:kk], sd[:kk]
-            return {"keys": sk, "docs": sd,
-                    "m": self._madd(R.masked_count(ctx.mask))}
+            return self._eval_top_hits(node, ctx, arrays, path, p)
 
         raise TypeError(f"unknown agg {type(node)!r}")
 
-    # metric under either context
+    # -- slot reductions (mode dispatch) -------------------------------------
+
+    def _slot_counts(self, ctx: SlotCtx):
+        if ctx.mode == "dense":
+            return R.dense_bucket_counts(ctx.bid, ctx.valid, ctx.nslots)
+        return R.slot_count(ctx.bid, ctx.valid, ctx.nslots)
+
+    def _slot_sum_plane(self, ctx: SlotCtx, plane):
+        if ctx.mode == "dense":
+            return R.dense_bucket_sum(ctx.bid, ctx.valid, plane, ctx.nslots)
+        return R.slot_sum(plane, ctx.bid, ctx.valid, ctx.nslots)
+
+    def _slot_min(self, ctx: SlotCtx, vals):
+        if ctx.mode == "dense":
+            return R.dense_bucket_min(ctx.bid, ctx.valid, vals, ctx.nslots)
+        return R.slot_min(vals, ctx.bid, ctx.valid, ctx.nslots)
+
+    def _slot_max(self, ctx: SlotCtx, vals):
+        if ctx.mode == "dense":
+            return R.dense_bucket_max(ctx.bid, ctx.valid, vals, ctx.nslots)
+        return R.slot_max(vals, ctx.bid, ctx.valid, ctx.nslots)
+
+    # -- metrics -------------------------------------------------------------
+
     def _eval_metric(self, node, ctx, arrays, p):
         field = node.field
-        need_min = isinstance(node, (A.MinAgg, A.StatsAgg))
-        need_max = isinstance(node, (A.MaxAgg, A.StatsAgg))
-        need_sum = isinstance(node, (A.SumAgg, A.AvgAgg, A.StatsAgg))
+        col = self._col(field)
+        need_min, need_max, need_sum = self._metric_needs(node)
         out = {}
+
         if isinstance(ctx, MaskCtx):
-            vals, vmask, _ = self._rows(field, ctx, arrays)
-            out["cnt"] = R.masked_count(vmask)
+            if col.multi:
+                pre = f"{field}:pre:"
+                cnt_doc = arrays[pre + "cnt"]
+                out["cnt"] = self._madd(R.ts_sum_plane(cnt_doc, ctx.mask))
+                mm_mask = ctx.mask & (cnt_doc > 0)
+                if need_min:
+                    out["min"] = self._mmin(self._pre_minmax(
+                        arrays, pre, "min", mm_mask, col, True))
+                if need_max:
+                    out["max"] = self._mmax(self._pre_minmax(
+                        arrays, pre, "max", mm_mask, col, False))
+                if need_sum:
+                    planes = arrays[pre + "sum"]
+                    out["sum"] = self._madd(jnp.stack(
+                        [R.ts_sum_plane(planes[:, i], ctx.mask)
+                         for i in range(planes.shape[1])]))
+                return out
+            planes = self._planes_only(field, arrays)
+            vmask = ctx.mask
+            out["cnt"] = self._madd(R.ts_count(vmask))
             if need_min:
-                out["min"] = R.masked_min(vals, vmask)
+                out["min"] = self._mmin(
+                    R.masked_min_i32(planes["w"], vmask) if col.narrow
+                    else R.masked_min_i64(self._recon_rm(field, planes),
+                                          vmask))
             if need_max:
-                out["max"] = R.masked_max(vals, vmask)
+                out["max"] = self._mmax(
+                    R.masked_max_i32(planes["w"], vmask) if col.narrow
+                    else R.masked_max_i64(self._recon_rm(field, planes),
+                                          vmask))
             if need_sum:
                 if p["direct"]:
-                    out["sum"] = R.masked_sum_direct(vals, vmask, p["min_mono"])
+                    out["sum"] = self._madd(R.ts_sum_plane(planes["w"],
+                                                           vmask))
                 else:
-                    out["sum"] = R.masked_sum_limbs(
-                        arrays[f"{field}:limbs"], vmask)
-            return self._merge_metric(out)
+                    limbs = arrays[f"{field}:limbs"]
+                    out["sum"] = self._madd(jnp.stack(
+                        [R.ts_sum_plane(limbs[:, i], vmask)
+                         for i in range(limbs.shape[1])]))
+            return out
 
         # SlotCtx
-        col = self._col(field)
-        ns = ctx.nslots
-        if not col.multi:
-            v = arrays[f"{field}:mono"][ctx.doc]
-            out["cnt"] = R.slot_count(ctx.slot, ctx.valid, ns)
-            if need_min:
-                out["min"] = R.slot_min(v, ctx.slot, ctx.valid, ns)
-            if need_max:
-                out["max"] = R.slot_max(v, ctx.slot, ctx.valid, ns)
+        if col.multi:
+            pre = f"{field}:pre:"
+            cnt_doc = arrays[pre + "cnt"]
+            cnt_rows = cnt_doc if ctx.rows_are_docs else cnt_doc[ctx.doc]
+            out["cnt"] = self._madd(self._slot_sum_plane(ctx, cnt_rows))
+            if need_min or need_max:
+                mm_valid = ctx.valid & (cnt_rows > 0)
+                mctx = SlotCtx(ctx.bid, mm_valid, ctx.dims,
+                               ctx.rows_are_docs, ctx.doc, ctx.mode)
+                if need_min:
+                    out["min"] = self._mmin(self._slot_preagg_minmax(
+                        mctx, arrays, pre, "min", col, True))
+                if need_max:
+                    out["max"] = self._mmax(self._slot_preagg_minmax(
+                        mctx, arrays, pre, "max", col, False))
             if need_sum:
-                if p["direct"]:
-                    out["sum"] = R.slot_sum_direct(
-                        v, ctx.slot, ctx.valid, ns, p["min_mono"])
-                else:
-                    planes = arrays[f"{field}:limbs"][ctx.doc]
-                    out["sum"] = R.slot_sum_limbs(
-                        planes, ctx.slot, ctx.valid, ns)
-            return self._merge_metric(out)
+                planes = arrays[pre + "sum"]
+                rows = planes if ctx.rows_are_docs else planes[ctx.doc]
+                out["sum"] = self._madd(jnp.stack(
+                    [self._slot_sum_plane(ctx, rows[:, i])
+                     for i in range(planes.shape[1])], axis=-1))
+            return out
 
-        # multi-valued field under slots: per-doc pre-aggregation, then
-        # scatter per contribution (each parent occurrence sees ALL of the
-        # doc's values — the reference's collect(doc) recursion, §3.2)
-        T = self._lT
-        gv, gdoc, gvalid = (arrays[f"{field}:mono"], arrays[f"{field}:doc"],
-                            arrays[f"{field}:valid"])
-        cnt_doc = jnp.zeros(T, I64).at[gdoc].add(
-            jnp.where(gvalid, 1, 0).astype(I64), mode="drop")
-        out["cnt"] = R.slot_sum_i64(cnt_doc[ctx.doc], ctx.slot, ctx.valid, ns)
-        if need_min:
-            min_doc = jnp.full(T, MONO_POS_INF, I64).at[gdoc].min(
-                jnp.where(gvalid, gv, MONO_POS_INF), mode="drop")
-            out["min"] = R.slot_min(min_doc[ctx.doc], ctx.slot, ctx.valid, ns)
-        if need_max:
-            max_doc = jnp.full(T, MONO_NEG_INF, I64).at[gdoc].max(
-                jnp.where(gvalid, gv, MONO_NEG_INF), mode="drop")
-            out["max"] = R.slot_max(max_doc[ctx.doc], ctx.slot, ctx.valid, ns)
+        get = lambda k: (arrays[f"{field}:{k}"] if ctx.rows_are_docs
+                         else arrays[f"{field}:{k}"][ctx.doc])
+        out["cnt"] = self._madd(self._slot_counts(ctx))
+        if need_min or need_max:
+            if col.narrow:
+                v = get("w")
+            else:
+                v = R.wide_recon(get("hi"), get("lo"))
+            if need_min:
+                out["min"] = self._mmin(self._slot_min(ctx, v))
+            if need_max:
+                out["max"] = self._mmax(self._slot_max(ctx, v))
         if need_sum:
             if p["direct"]:
-                sum_doc = jnp.zeros(T, I64).at[gdoc].add(
-                    jnp.where(gvalid, gv - p["min_mono"], 0), mode="drop")
-                out["sum"] = R.slot_sum_i64(
-                    sum_doc[ctx.doc], ctx.slot, ctx.valid, ns)
+                out["sum"] = self._madd(self._slot_sum_plane(ctx, get("w")))
             else:
-                planes = arrays[f"{field}:limbs"]
-                L = planes.shape[1]
-                sum_doc = jnp.zeros((T, L), I64).at[gdoc].add(
-                    jnp.where(gvalid[:, None], planes.astype(I64), 0),
-                    mode="drop")
-                upd = jnp.where(ctx.valid[:, None], sum_doc[ctx.doc], 0)
-                out["sum"] = jnp.zeros((ns, L), I64).at[ctx.slot].add(
-                    upd, mode="drop")
-        return self._merge_metric(out)
+                limbs = arrays[f"{field}:limbs"]
+                rows = limbs if ctx.rows_are_docs else limbs[ctx.doc]
+                out["sum"] = self._madd(jnp.stack(
+                    [self._slot_sum_plane(ctx, rows[:, i])
+                     for i in range(limbs.shape[1])], axis=-1))
+        return out
 
-    def _bucket_ids(self, p, vals):
-        """Value rows -> 0-based bucket index in [0, nb)."""
-        if p["mode"] == "empty":
-            return jnp.zeros(vals.shape, jnp.int32)
-        if p["mode"] == "direct":
-            k = jnp.floor_divide(vals - p["off_mono"], p["interval"])
-            return (k - p["k_min"]).astype(jnp.int32)
-        return jnp.searchsorted(p["bounds"], vals, side="right").astype(jnp.int32)
+    def _pre_minmax(self, arrays, pre, which, mask, col, is_min):
+        if col.narrow:
+            v = arrays[pre + which + "A"]
+            return R.masked_min_i32(v, mask) if is_min \
+                else R.masked_max_i32(v, mask)
+        rm = R.wide_recon(arrays[pre + which + "A"],
+                          arrays[pre + which + "B"])
+        return R.masked_min_i64(rm, mask) if is_min \
+            else R.masked_max_i64(rm, mask)
 
-    def _slot_of_doc(self, col, doc, slot, valid):
-        """[T] flat slot per doc (+validity) for chaining bucket nesting.
-        For dense single columns the value rows ARE the doc rows; for a
-        single-cardinality CSR column (<=1 value/doc) scatter the unique
-        contribution."""
-        if not col.multi:
-            return slot, valid
-        T = self._lT
-        sod = jnp.full(T, -1, jnp.int32).at[doc].max(
-            jnp.where(valid, slot.astype(jnp.int32), -1), mode="drop")
-        return sod, sod >= 0
+    def _slot_preagg_minmax(self, ctx, arrays, pre, which, col, is_min):
+        if col.narrow:
+            v = arrays[pre + which + "A"]
+        else:
+            v = R.wide_recon(arrays[pre + which + "A"],
+                             arrays[pre + which + "B"])
+        rows = v if ctx.rows_are_docs else v[ctx.doc]
+        return self._slot_min(ctx, rows) if is_min \
+            else self._slot_max(ctx, rows)
+
+    # -- percentiles ---------------------------------------------------------
+
+    def _perm_mask(self, chain, params, arrays, prefix, Rn):
+        m = (arrays[prefix + "alive"] > 0) & (arrays[prefix + "lvalid"] > 0)
+        for q, qpath in chain:
+            m &= qc.eval_mask(q, self.dindex, params, qpath, Rn, arrays,
+                              prefix)
+        return m
+
+    def _eval_percentiles(self, node, ctx, params, arrays, path, p):
+        field = node.field
+        col = self._col(field)
+        if p["pmode"] == "rank":
+            Rn = p["layout"].n_rows
+            vm = self._perm_mask(ctx.chain, params, arrays, p["prefix"], Rn)
+            cum32 = jnp.cumsum(R.block32_counts(vm).astype(I64))
+            return {"m": cum32[-1], "cum32": cum32,
+                    "vmask_perm": vm.astype(jnp.int8)}
+        # sort path
+        if col.multi:
+            doc = arrays[f"{field}:doc"]
+            vmask = ctx.mask[doc] & (arrays[f"{field}:valid"] > 0)
+            planes = self._planes_only(field, arrays)
+        else:
+            vmask = ctx.mask
+            planes = self._planes_only(field, arrays)
+        rm = self._recon_rm(field, planes)
+        srt = jnp.sort(jnp.where(vmask, rm, I64_MAX))
+        if self._sharded:
+            srt = jnp.sort(jax.lax.all_gather(srt, "d", tiled=True))
+        return {"sorted": srt, "m": self._madd(R.ts_count(vmask))}
+
+    # -- histogram -----------------------------------------------------------
+
+    def _bucket_ids(self, p, field, arrays):
+        col = self._col(field)
+        if p["hmode"] == "empty":
+            base = arrays[f"{field}:w"] if (col.narrow or
+                                            col.ftype == FieldType.KEYWORD) \
+                else arrays[f"{field}:hi"]
+            return jnp.zeros(base.shape, I32)
+        if p["hmode"] == "direct32":
+            w = arrays[f"{field}:w"]
+            return (w - p["w_base"]) // p["iv"]
+        planes = self._planes_only(field, arrays)
+        if p["hmode"] == "direct64":
+            if col.narrow:
+                rm = planes["w"].astype(I64)
+                base = p["w_base"]
+            else:
+                rm = R.wide_recon(planes["hi"], planes["lo"])
+                base = _wrap64(p["w_base"] - 2**63)
+            return ((rm - base) // p["iv"]).astype(I32)
+        # bounds
+        rm = self._recon_rm(field, planes)
+        j = jnp.zeros(rm.shape, I32)
+        for b in p["rbounds"].tolist():
+            j = j + (rm >= b).astype(I32)
+        return j
 
     def _eval_histogram(self, node, ctx, params, arrays, path, p):
         nb = p["nb"]
         field = node.field
         col = self._col(field)
+        bid_own = self._bucket_ids(p, field, arrays)
         if isinstance(ctx, MaskCtx):
-            vals, vmask, doc = self._rows(field, ctx, arrays)
-            bid = self._bucket_ids(p, vals)
-            dims = (nb,)
-            slot = bid
-            valid = vmask
-        else:
-            # nested: parent chainability guaranteed by the plan check
-            vals = arrays[f"{field}:mono"]
             if col.multi:
-                doc = arrays[f"{field}:doc"]
-                gvalid = arrays[f"{field}:valid"]
+                rdoc = arrays[f"{field}:doc"]
+                valid = ctx.mask[rdoc] & (arrays[f"{field}:valid"] > 0)
+                rows_are_docs = False
             else:
-                doc = jnp.arange(self._lT, dtype=jnp.int32)
-                gvalid = jnp.ones(self._lT, dtype=bool)
-            bid = self._bucket_ids(p, vals)
-            pslot = ctx.slot_of_doc[doc]
-            pvalid = ctx.slot_valid_of_doc[doc]
-            slot = pslot * nb + bid
-            valid = gvalid & pvalid
+                rdoc = None
+                valid = ctx.mask
+                rows_are_docs = True
+            bid = bid_own
+            dims = (nb,)
+        else:
+            if col.multi:
+                rdoc = arrays[f"{field}:doc"]
+                gvalid = arrays[f"{field}:valid"] > 0
+                rows_are_docs = False
+                pslot = ctx.slot_of_doc[rdoc]
+                pvalid = ctx.slot_valid_of_doc[rdoc]
+                valid = gvalid & pvalid
+            else:
+                rdoc = None
+                rows_are_docs = True
+                pslot = ctx.slot_of_doc
+                valid = ctx.slot_valid_of_doc
+            bid = jnp.where(pslot >= 0, pslot, 0) * nb + bid_own
+            bid = jnp.where(pslot >= 0, bid, -1)
             dims = ctx.dims + (nb,)
-        ns = _prod(dims)
-        out = {"counts": self._madd(R.slot_count(slot, valid, ns))}
+        sub_ctx = SlotCtx(bid, valid, dims, rows_are_docs, rdoc, p["mode"])
+        out = {"counts": self._madd(self._slot_counts(sub_ctx))}
         if node.sub_aggs:
-            if p["chain"]:
-                sod, svd = self._slot_of_doc(col, doc, slot, valid)
-                sub_ctx = SlotCtx(doc, slot, valid, dims, sod, svd)
-            else:
-                sub_ctx = SlotCtx(doc, slot, valid, dims, None, None)
+            if p["chain_ok"]:
+                sod, svd = self._chain_slots(sub_ctx)
+                sub_ctx.slot_of_doc = sod
+                sub_ctx.slot_valid_of_doc = svd
             for name, sub in node.sub_aggs:
                 out[name] = self._eval(sub, sub_ctx, params, arrays,
                                        path + (name,))
         return out
 
+    def _chain_slots(self, ctx: SlotCtx):
+        if ctx.rows_are_docs:
+            return jnp.where(ctx.valid, ctx.bid, -1), ctx.valid
+        T = self._lT
+        sod = jnp.full(T, -1, I32).at[ctx.doc].max(
+            jnp.where(ctx.valid, ctx.bid.astype(I32), -1), mode="drop")
+        return sod, sod >= 0
+
+    # -- terms ---------------------------------------------------------------
+
     def _eval_terms(self, node, ctx, params, arrays, path, p):
         card, keff = p["card"], p["keff"]
         field = node.field
         col = self._col(field)
-        if col.ftype == FieldType.KEYWORD:
-            ids_rows = arrays[f"{field}:mono"].astype(jnp.int32)
-        else:
-            ids_rows = arrays[f"{field}:tid"]
+
+        if p["mode"] == "prefix":
+            return self._eval_terms_prefix(node, ctx, params, arrays, path, p)
+
+        ids = arrays[f"{field}:w"] if col.ftype == FieldType.KEYWORD \
+            else arrays[f"{field}:tid"]
         if isinstance(ctx, MaskCtx):
             if col.multi:
-                doc = arrays[f"{field}:doc"]
-                vmask = ctx.mask[doc] & arrays[f"{field}:valid"]
+                rdoc = arrays[f"{field}:doc"]
+                vmask = ctx.mask[rdoc] & (arrays[f"{field}:valid"] > 0)
+                rows_are_docs = False
             else:
-                doc = jnp.arange(self._lT, dtype=jnp.int32)
+                rdoc = None
                 vmask = ctx.mask
-            slot = ids_rows
-            valid = vmask
+                rows_are_docs = True
+            bid = ids
+            valid = vmask & (ids >= 0)
             anc_flat = 1
             dims = (card,)
         else:
             if col.multi:
-                doc = arrays[f"{field}:doc"]
-                gvalid = arrays[f"{field}:valid"]
+                rdoc = arrays[f"{field}:doc"]
+                gvalid = arrays[f"{field}:valid"] > 0
+                rows_are_docs = False
+                pslot = ctx.slot_of_doc[rdoc]
+                pvalid = ctx.slot_valid_of_doc[rdoc]
+                valid = gvalid & pvalid & (ids >= 0)
             else:
-                doc = jnp.arange(self._lT, dtype=jnp.int32)
-                gvalid = jnp.ones(self._lT, dtype=bool)
-            pslot = ctx.slot_of_doc[doc]
-            pvalid = ctx.slot_valid_of_doc[doc]
-            slot = pslot * card + ids_rows
-            valid = gvalid & pvalid
+                rdoc = None
+                rows_are_docs = True
+                pslot = ctx.slot_of_doc
+                valid = ctx.slot_valid_of_doc & (ids >= 0)
+            bid = jnp.where(pslot >= 0, pslot, 0) * card + ids
+            bid = jnp.where((pslot >= 0) & (ids >= 0), bid, -1)
             anc_flat = ctx.nslots
             dims = ctx.dims + (card,)
-        ns = _prod(dims)
-        counts = self._madd(R.slot_count(slot, valid, ns))
+        sub_ctx = SlotCtx(bid, valid, dims, rows_are_docs, rdoc, p["mode"])
+        counts = self._madd(self._slot_counts(sub_ctx))
 
         sub_out = {}
         if node.sub_aggs:
-            if p["chain"]:
-                sod, svd = self._slot_of_doc(col, doc, slot, valid)
-                sub_ctx = SlotCtx(doc, slot, valid, dims, sod, svd)
-            else:
-                sub_ctx = SlotCtx(doc, slot, valid, dims, None, None)
+            if p["chain_ok"]:
+                sod, svd = self._chain_slots(sub_ctx)
+                sub_ctx.slot_of_doc = sod
+                sub_ctx.slot_valid_of_doc = svd
             for name, sub in node.sub_aggs:
                 sub_out[name] = self._eval(sub, sub_ctx, params, arrays,
                                            path + (name,))
+        return self._terms_topk(counts, sub_out, anc_flat, card, keff)
 
-        # top-k by (count desc, id asc) via composite key; batched over the
-        # ancestor slot space
+    @staticmethod
+    def _terms_topk(counts, sub_out, anc_flat, card, keff):
         c2 = counts.reshape(anc_flat, card)
         ids = jnp.arange(card, dtype=I64)
         key = c2 * (1 << 27) + (card - 1 - ids)[None, :]
-        top_key, top_ids = jax.lax.top_k(key, keff)
+        _, top_ids = jax.lax.top_k(key, keff)
         top_counts = jnp.take_along_axis(c2, top_ids, axis=1)
         total = jnp.sum(c2, axis=1)
 
-        # gather every descendant output's parent-card axis down to keff
         def gather(a):
             rest = a.shape[0] // (anc_flat * card)
             b = a.reshape((anc_flat, card, rest) + a.shape[1:])
-            g = b[jnp.arange(anc_flat)[:, None], top_ids]  # [anc, keff, rest, ...]
+            g = b[jnp.arange(anc_flat)[:, None], top_ids]
             return g.reshape((anc_flat * keff * rest,) + a.shape[1:])
 
         sub_out = jax.tree_util.tree_map(gather, sub_out)
         return {"counts": top_counts.reshape(anc_flat * keff),
-                "ids": top_ids.reshape(anc_flat * keff).astype(jnp.int32),
+                "ids": top_ids.reshape(anc_flat * keff).astype(I32),
                 "total": total.reshape(anc_flat),
                 **sub_out}
 
-    # -- harvest -----------------------------------------------------------------
-    # Device outputs are flat on axis 0 over the harvest slot space: the
-    # product of each ancestor bucket level's HARVEST size (keff for terms —
-    # post-gather — and nb for histograms), recorded as plan["hdims"].
+    def _eval_terms_prefix(self, node, ctx, params, arrays, path, p):
+        prefix = p["prefix"]
+        layout = p["layout"]
+        Rn = layout.n_rows
+        vm = self._perm_mask(ctx.chain, params, arrays, prefix, Rn)
+        bounds32 = arrays[prefix + "bounds32"]
+        counts = R.prefix_diff(R.block32_counts(vm), bounds32)
+        sub_out = {}
+        for name, sub in node.sub_aggs:
+            if isinstance(sub, A.CountAgg):
+                sub_out[name] = {"cnt": counts}
+                continue
+            g = sub.field
+            colg = self._col(g)
+            L = self.plan[("payL", prefix, g)]["L"]
+            planes = [arrays[prefix + f"pay:{g}:s{i}"] for i in range(L)]
+            if colg.multi:
+                cnt_rows = arrays[prefix + f"pay:{g}:cnt"]
+                gcnt = R.prefix_diff(R.block32_sums(cnt_rows, vm), bounds32)
+            else:
+                gcnt = counts
+            sums = jnp.stack(
+                [R.prefix_diff(R.block32_sums(pl, vm), bounds32)
+                 for pl in planes], axis=-1)
+            if len(planes) == 1 and not colg.multi and colg.sum_direct:
+                sub_out[name] = {"cnt": gcnt, "sum": sums[:, 0]}
+            else:
+                sub_out[name] = {"cnt": gcnt, "sum": sums}
+        return self._terms_topk(counts, sub_out, 1, p["card"], p["keff"])
 
-    def _flat(self, raw, path, prefix: Tuple[int, ...], key: str):
+    # -- top hits ------------------------------------------------------------
+
+    def _eval_top_hits(self, node, ctx, arrays, path, p):
+        field = node.sort_field
+        planes = self._planes_only(field, arrays)
+        rm = self._recon_rm(field, planes)
+        key = jnp.where(ctx.mask, rm if node.ascending else ~rm, I64_MAX)
+        doc = jnp.arange(self._lT, dtype=I64)
+        if self._sharded:
+            doc = doc + jax.lax.axis_index("d").astype(I64) * self._lT
+        sk, sd = jax.lax.sort((key, doc), num_keys=2)
+        k = min(p["k"], self._lT)
+        sk, sd = sk[:k], sd[:k]
+        if self._sharded:
+            sk = jax.lax.all_gather(sk, "d", tiled=True)
+            sd = jax.lax.all_gather(sd, "d", tiled=True)
+            sk, sd = jax.lax.sort((sk, sd), num_keys=2)
+            sk, sd = sk[:p["k"]], sd[:p["k"]]
+        return {"keys": sk, "docs": sd, "m": self._madd(R.ts_count(ctx.mask))}
+
+    # ======================================================================
+    # fetch (batched device->host)
+    # ======================================================================
+
+    def fetch_strip(self, aggs, raw):
+        big = {}
+
+        def strip(node, r, path):
+            if isinstance(node, (dict, tuple)):
+                items = node.items() if isinstance(node, dict) else node
+                return {n: strip(s, r[n], path + (n,)) for n, s in items}
+            if isinstance(node, A.PercentilesAgg):
+                p = self.plan[path]
+                if p["pmode"] == "rank":
+                    big[path] = (r["cum32"], r["vmask_perm"])
+                else:
+                    big[path] = r["sorted"]
+                return {"m": r["m"]}
+            if isinstance(node, (A.HistogramAgg, A.TermsAgg,
+                                 A.FilterAgg, A.PostFilterAgg)):
+                out = {k: v for k, v in r.items() if not isinstance(v, dict)}
+                for n, s in node.sub_aggs:
+                    out[n] = strip(s, r[n], path + (n,))
+                return out
+            return r
+
+        return ({n: strip(s, raw[n], ("a", n)) for n, s in aggs.items()},
+                big)
+
+    @staticmethod
+    def _node_at(host, path):
+        node = host
+        for k in path[1:]:
+            node = node[k]
+        return node
+
+    def percentile_gathers(self, host, big):
+        gathers = {}
+        for path, dev in big.items():
+            node_host = self._node_at(host, path)
+            m = int(node_host["m"])
+            p = self.plan[path]
+            fracs, ranks = [], []
+            for q in p["percents"]:
+                if m == 0:
+                    lo = hi = 0
+                    fr = 0.0
+                else:
+                    lo, hi, fr = exact.percentile_rank(q, m)
+                fracs.append(fr)
+                ranks.extend([lo, hi])
+            node_host["_fracs"] = fracs
+            if p["pmode"] == "rank":
+                cum32, vm = dev
+                gathers[path] = _rank_select(cum32, vm,
+                                             jnp.asarray(ranks, I64))
+            else:
+                gathers[path] = _take(dev, jnp.asarray(ranks, I32))
+        return gathers
+
+    def attach_percentiles(self, host, got):
+        for path, vals in got.items():
+            self._node_at(host, path)["pvals"] = vals
+
+    # ======================================================================
+    # harvest
+    # ======================================================================
+
+    def _flat(self, raw, path, prefix, key):
         a = raw[key]
         hdims = self.plan[path]["hdims"]
         if not prefix:
             return a
         return a[int(np.ravel_multi_index(prefix, hdims))]
 
-    def _harvest(self, node, raw, path, prefix: Tuple[int, ...]):
-        p = self.plan[path] if path in self.plan else None
-
+    def _harvest(self, node, raw, path, prefix):
         if isinstance(node, A.CountAgg):
             return {"value": int(self._flat(raw, path, prefix, "cnt"))}
-
-        if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg, A.StatsAgg)):
+        if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg,
+                             A.StatsAgg)):
             return self._harvest_metric(node, raw, path, prefix)
-
         if isinstance(node, A.PercentilesAgg):
             return self._harvest_percentiles(node, raw, path)
-
         if isinstance(node, A.HistogramAgg):
             return self._harvest_histogram(node, raw, path, prefix)
-
         if isinstance(node, A.TermsAgg):
             return self._harvest_terms(node, raw, path, prefix)
-
         if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
             out = {"doc_count": int(self._flat(raw, path, prefix, "cnt"))}
             for name, sub in node.sub_aggs:
-                out[name] = self._harvest(sub, raw[name], path + (name,), prefix)
+                out[name] = self._harvest(sub, raw[name], path + (name,),
+                                          prefix)
             return out
-
         if isinstance(node, A.TopHitsAgg):
             return self._harvest_top_hits(node, raw, path)
-
         raise TypeError(f"unknown agg {type(node)!r}")
 
-    @staticmethod
-    def _user(ftype: FieldType, mono_val: int):
-        v = mono_mod.scalar_from_mono(ftype.value, int(mono_val))
+    def _mono_from_mm(self, p, raw_val) -> int:
+        """Device min/max output (narrow: w int32; wide: rm int64) -> mono."""
+        if p["narrow"]:
+            w = int(raw_val)
+        else:
+            w = int(raw_val) + 2**63
+        return _wrap64(p["min_mono"] + w)
+
+    def _user_scalar(self, ftype, mono: int):
+        v = mono_mod.scalar_from_mono(ftype.value, mono)
         return float(v) if ftype == FieldType.F64 else int(v)
 
     def _reconstruct_sum(self, p, sum_out, cnt: int):
-        ftype = p["ftype"]
-        if ftype == FieldType.F64:
-            return exact.f64_reconstruct_sum(np.atleast_1d(np.asarray(sum_out)),
-                                             p["base"])
-        if p["direct"]:
+        if p["ftype"] == FieldType.F64:
+            return exact.f64_reconstruct_sum(
+                np.atleast_1d(np.asarray(sum_out)), p["base"])
+        if p["direct"] and np.ndim(sum_out) == 0:
             return int(sum_out) + cnt * int(p["min_user"])
         return exact.int_reconstruct_sum(np.asarray(sum_out)) \
             + cnt * int(p["min_user"])
 
     def _harvest_metric(self, node, raw, path, prefix):
-        from fractions import Fraction
         p = self.plan[path]
         ftype = p["ftype"]
         cnt = int(self._flat(raw, path, prefix, "cnt"))
+
+        def mmval(key):
+            if cnt == 0:
+                return None
+            return self._user_scalar(
+                ftype,
+                self._mono_from_mm(p, self._flat(raw, path, prefix, key)))
+
         if isinstance(node, A.SumAgg):
             return {"value": self._reconstruct_sum(
                 p, self._flat(raw, path, prefix, "sum"), cnt)}
         if isinstance(node, A.MinAgg):
-            return {"value": None if cnt == 0 else
-                    self._user(ftype, self._flat(raw, path, prefix, "min"))}
+            return {"value": mmval("min")}
         if isinstance(node, A.MaxAgg):
-            return {"value": None if cnt == 0 else
-                    self._user(ftype, self._flat(raw, path, prefix, "max"))}
+            return {"value": mmval("max")}
+        s = self._reconstruct_sum(p, self._flat(raw, path, prefix, "sum"),
+                                  cnt)
+        avg = None if cnt == 0 else (
+            s / cnt if ftype == FieldType.F64 else float(Fraction(s) / cnt))
         if isinstance(node, A.AvgAgg):
-            s = self._reconstruct_sum(p, self._flat(raw, path, prefix, "sum"), cnt)
-            if cnt == 0:
-                value = None
-            elif ftype == FieldType.F64:
-                value = s / cnt
-            else:
-                value = float(Fraction(s) / cnt)
-            return {"value": value, "sum": s, "count": cnt}
-        # StatsAgg
-        s = self._reconstruct_sum(p, self._flat(raw, path, prefix, "sum"), cnt)
-        return {
-            "count": cnt,
-            "sum": s,
-            "min": None if cnt == 0 else
-                self._user(ftype, self._flat(raw, path, prefix, "min")),
-            "max": None if cnt == 0 else
-                self._user(ftype, self._flat(raw, path, prefix, "max")),
-            "avg": None if cnt == 0 else (
-                s / cnt if ftype == FieldType.F64 else float(Fraction(s) / cnt)),
-        }
+            return {"value": avg, "sum": s, "count": cnt}
+        return {"count": cnt, "sum": s, "min": mmval("min"),
+                "max": mmval("max"), "avg": avg}
 
     def _harvest_percentiles(self, node, raw, path):
         p = self.plan[path]
@@ -802,12 +1102,23 @@ class Program:
         m = int(raw["m"])
         if m == 0:
             return {"values": {str(q): None for q in node.percents}}
-        got, fracs = raw["pvals"], raw["_fracs"]
+        got = np.asarray(raw["pvals"])
+        fracs = raw["_fracs"]
         out = {}
         for i, q in enumerate(node.percents):
-            v_lo = self._user(ftype, got[2 * i])
-            v_hi = self._user(ftype, got[2 * i + 1])
-            out[str(q)] = exact.interpolate(float(v_lo), float(v_hi), fracs[i])
+            if p["pmode"] == "rank":
+                lo_mono = int(p["layout"].sorted_mono[int(got[2 * i])])
+                hi_mono = int(p["layout"].sorted_mono[int(got[2 * i + 1])])
+            else:  # sort path emitted rm (wide) or w (narrow) values
+                def to_mono(v):
+                    w = int(v) if p["narrow"] else int(v) + 2**63
+                    return _wrap64(p["min_mono"] + w)
+                lo_mono = to_mono(got[2 * i])
+                hi_mono = to_mono(got[2 * i + 1])
+            v_lo = self._user_scalar(ftype, lo_mono)
+            v_hi = self._user_scalar(ftype, hi_mono)
+            out[str(q)] = exact.interpolate(float(v_lo), float(v_hi),
+                                            fracs[i])
         return {"values": out}
 
     def _harvest_histogram(self, node, raw, path, prefix):
@@ -854,35 +1165,52 @@ class Program:
             if ftype == FieldType.KEYWORD:
                 key = str(p["keys"][tid])
             else:
-                key = self._user(ftype, int(p["keys_mono"][tid]))
+                key = self._user_scalar(ftype, int(p["keys_mono"][tid]))
             shown += c
             b = {"key": key, "doc_count": c}
             for name, sub in node.sub_aggs:
                 b[name] = self._harvest(sub, raw[name], path + (name,),
                                         prefix + (i,))
             buckets.append(b)
-        return {"buckets": buckets,
-                "sum_other_doc_count": total_here - shown}
+        return {"buckets": buckets, "sum_other_doc_count": total_here - shown}
 
     def _harvest_top_hits(self, node, raw, path):
+        p = self.plan[path]
         m = int(raw["m"])
         k = min(node.size, m)
         keys = np.asarray(raw["keys"])[:k]
         docs = np.asarray(raw["docs"])[:k]
-        col = self._col(node.sort_field)
         starts = self.dindex.seg_starts
         hits = []
         for kk, dd in zip(keys.tolist(), docs.tolist()):
-            mono_v = kk if node.ascending else ~np.int64(kk)
+            rm = int(kk) if node.ascending else int(~np.int64(kk))
+            mono = self._mono_from_mm(p, rm)
             si = int(np.searchsorted(starts, dd, side="right")) - 1
             hits.append({"segment": si, "doc": int(dd - starts[si]),
-                         "value": self._user(col.ftype, int(mono_v))})
+                         "value": self._user_scalar(p["ftype"], mono)})
         return {"hits": hits}
 
 
 @jax.jit
 def _take(a, idx):
     return a[idx]
+
+
+@jax.jit
+def _rank_select(cum32, vmask_perm, ranks):
+    """For each 0-based rank r: the layout row of the (r+1)-th matched row.
+    cum32: inclusive int64 prefix of per-32-row-block match counts."""
+    targets = ranks + 1
+
+    def one(t):
+        blk = jnp.searchsorted(cum32, t, side="left")
+        base = jnp.where(blk > 0, cum32[jnp.maximum(blk - 1, 0)], 0)
+        window = jax.lax.dynamic_slice(vmask_perm, (blk * 32,), (32,))
+        inner = jnp.cumsum(window.astype(I64))
+        off = jnp.sum((inner < (t - base)).astype(I32))
+        return blk * 32 + off
+
+    return jax.vmap(one)(targets)
 
 
 def get_program(dindex, query, aggs) -> Program:

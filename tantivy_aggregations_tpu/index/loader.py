@@ -1,33 +1,35 @@
-"""Device index loader: host segments -> HBM-resident column arrays.
+"""Device index loader: host segments -> HBM-resident int32 column planes.
 
-TPU-native redesign of tantivy's per-segment fast-field readers (SURVEY.md
-§2.2 T4/T5, §3.5). Key departures from the reference, chosen for the
-hardware:
+TPU-native redesign of tantivy's fast-field storage (SURVEY.md §2.2 T4/T5),
+v2 layout chosen from measured hardware behavior (this TPU's XLA executes
+int64 via emulation and scatters/sorts catastrophically slowly, and Mosaic
+kernels have no int64):
 
-- **One concatenated doc axis.** Segments are concatenated (not stacked and
-  padded per segment): per-segment execution only exists in the reference
-  because its collector state is sequential. Here every reduction is
-  order-independent and exact, so the doc axis is a single dense [T] array
-  padded with dead docs to a block multiple. Multi-chip sharding shards this
-  axis (SURVEY.md §2.3) — data parallelism over docs.
-- **Global ordinals at load.** The reference merges terms buckets by term
-  bytes because segment ordinals are local (§A.6). We align ordinals to a
-  global sorted term table once at load; bucket merge then becomes dense
-  integer addition (and cross-chip merge a plain psum over ICI).
-- **Mono domain.** All numeric columns are loaded as order-preserving int64
-  (utils/mono.py) — device compute never touches f64.
-- **CSR expansion, shard-local.** Multi-valued fields become flat value rows
-  with a doc_id per row and a validity mask. Under a mesh, value rows are
-  partitioned into the same doc-range shards as their docs (padded per
-  shard), with doc ids LOCAL to the shard — every gather/scatter between
-  value rows and doc rows stays on-chip; only fruit merges cross ICI.
+- **All device compute is int32.** Each numeric field maps through the
+  order-preserving int64 "mono" domain (utils/mono.py) but is STORED as
+  int32 planes of the offset w = mono - min_mono:
+    - narrow (span < 2^31-1): one plane `w` — exact compares, min/max, and
+      two-stage exact sums directly (half the HBM traffic of int64);
+    - wide: two monoized planes (hi, lo) of w's u64 value — compares and
+      min/max are lexicographic; exact sums use signed 26-bit limb planes.
+  f64 fields additionally carry limb planes of the exact fixed-point value
+  (utils/exact.py) for exact order-independent sums.
+- **Single-cardinality keyword fields are DENSE**: one int32 global-ordinal
+  column (-1 = missing) aligned with the doc axis — term queries are a
+  vector compare and terms aggs scatter-free; only truly multi-valued
+  fields pay the CSR indirection.
+- **Segments are concatenated** on one padded doc axis; global ordinals are
+  aligned at load (§A.6) so bucket merges are dense integer adds.
+- **OrderedLayout** (ordered_layout()): a load-time argsort of a column with
+  32-aligned bucket padding, enabling prefix-difference bucket reductions
+  and rank-selection percentiles without per-query sorts or scatters.
 """
 
 from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,16 +38,21 @@ import numpy as np
 from ..schema import Cardinality, FieldType, Schema
 from ..utils import exact, mono as mono_mod
 
-#: doc/value axes are padded to a multiple of this (VPU lane friendliness)
+#: doc/value axes are padded to a multiple of this
 PAD_BLOCK = 1024
+#: narrow-column span bound: span+1 must stay in int32
+NARROW_MAX_SPAN = 2**31 - 2
+#: OrderedLayout bucket boundaries are aligned to this many rows
+ALIGN = 32
+
+I32 = np.int32
 
 
 def _pad_to(n: int, block: int) -> int:
     return max(block, ((n + block - 1) // block) * block)
 
 
-def _put(arr: np.ndarray, mesh, spec_ndim: int):
-    """Move to device; under a mesh, shard the leading axis."""
+def _put(arr: np.ndarray, mesh, spec_ndim: int = 1):
     if mesh is None:
         return jnp.asarray(arr)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -53,103 +60,254 @@ def _put(arr: np.ndarray, mesh, spec_ndim: int):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def _split_wide(w_u64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """u64 offsets -> (hi, lo) monoized int32 planes (lexicographic order
+    over (hi, lo) == numeric order over w)."""
+    hi = ((w_u64 >> np.uint64(32)).astype(np.int64) - 2**31).astype(I32)
+    lo = ((w_u64 & np.uint64(0xFFFFFFFF)).astype(np.int64) - 2**31).astype(I32)
+    return hi, lo
+
+
+def monoize_u32(x: int) -> int:
+    """u32 -> order-preserving int32 (for wide-plane compare params)."""
+    return int(x) - 2**31
+
+
+@dataclass
+class OrderedLayout:
+    """Static value-order view of a column (see module docstring)."""
+
+    perm: np.ndarray  # [R] int32: row index (doc or value-row) per position
+    n_rows: int  # padded length R (multiple of PAD_BLOCK, incl. dead pad)
+    #: for bucket layouts: 32-aligned row offsets per bucket id [card+1]
+    bounds: Optional[np.ndarray] = None
+    valid_perm: Optional[jnp.ndarray] = None  # [R] int8: 0 on padding rows
+    #: for percentile layouts: values in position order (host int64 mono)
+    sorted_mono: Optional[np.ndarray] = None
+    sorted_mono_dev: Optional[jnp.ndarray] = None
+    #: permuted device array cache: key -> [R,...] array
+    cache: Dict[str, jnp.ndarray] = field(default_factory=dict)
+
+
 @dataclass
 class DeviceColumn:
-    """One field's device-resident data (index-wide, concatenated)."""
-
     name: str
     ftype: FieldType
-    multi: bool
-    # single-valued: mono [T]; multi-valued: mono [V] flat value rows
-    mono: jnp.ndarray
-    # multi-valued only:
-    doc_id: Optional[jnp.ndarray] = None  # [V] int32, SHARD-LOCAL doc index
-    valid: Optional[jnp.ndarray] = None  # [V] bool (False on padding)
-    # keyword only:
+    multi: bool  # True only for CSR storage (real multi-valued fields)
+    # -- compare/minmax planes (value rows: [T] dense or [V] CSR) -----------
+    narrow: bool = True
+    w: Optional[jnp.ndarray] = None  # int32 [R] (narrow) or None
+    hi: Optional[jnp.ndarray] = None  # int32 [R] (wide)
+    lo: Optional[jnp.ndarray] = None
+    # keyword: `w` holds global ordinals (dense: -1 = missing)
+    # -- CSR only -------------------------------------------------------------
+    doc_id: Optional[jnp.ndarray] = None  # int32 [V], shard-local
+    valid: Optional[jnp.ndarray] = None  # int8 [V]
+    # -- keyword --------------------------------------------------------------
     terms: Optional[np.ndarray] = None  # global sorted term table (host)
-    # numeric metadata (host scalars, over real values)
+    # -- static metadata ------------------------------------------------------
     min_mono: int = 0
     max_mono: int = 0
-    n_values: int = 0  # real value count
-    # exact-sum plan (numeric): either direct int64 or limb planes
-    sum_direct: bool = True
+    n_values: int = 0
+    span: int = 0  # max_mono - min_mono (as u64 width)
+    # -- exact-sum plan -------------------------------------------------------
+    sum_direct: bool = True  # narrow ints: sum the w plane directly
     f64_base_exp: int = 1
     sum_n_limbs: int = 1
     _mesh: Optional[object] = None
-    _sum_limbs: Optional[jnp.ndarray] = None  # [len(mono), L] int32, lazy
+    _sum_limbs: Optional[jnp.ndarray] = None  # [R, L] int32 (lazy)
     _host_values: Optional[np.ndarray] = None  # user-domain, padded layout
-    _host_valid: Optional[np.ndarray] = None  # None = all real
-    # numeric terms dictionary (lazy): value id per row + id -> mono value
+    _host_valid: Optional[np.ndarray] = None
+    _host_mono: Optional[np.ndarray] = None  # int64 mono, padded layout
+    _host_doc: Optional[np.ndarray] = None  # CSR doc ids (padded layout)
+    _orig_docs: Optional[np.ndarray] = None  # CSR: global doc per value row
+    _orig_values: Optional[np.ndarray] = None  # CSR: values, original order
+    # -- numeric terms dictionary (lazy) --------------------------------------
     _term_ids: Optional[jnp.ndarray] = None
+    _term_ids_host: Optional[np.ndarray] = None
     _term_values_mono: Optional[np.ndarray] = None
-
-    def _real_values(self) -> np.ndarray:
-        if self._host_valid is None:
-            return self._host_values
-        return self._host_values[self._host_valid]
+    # -- ordered layouts (lazy; unsharded only) -------------------------------
+    _bucket_layout: Optional[OrderedLayout] = None
+    _value_layout: Optional[OrderedLayout] = None
+    # per-doc pre-aggregate planes for CSR metric sub-aggs (lazy, static)
+    _doc_preagg: Optional[dict] = None
 
     # -- lazy exact-sum limb planes -------------------------------------------
 
     def sum_limbs(self) -> jnp.ndarray:
         if self._sum_limbs is None:
-            v = self._host_values
-            if self.ftype == FieldType.F64:
-                planes = exact.f64_limb_planes(
-                    v, self.f64_base_exp, self.sum_n_limbs)
-            else:
-                w = np.asarray(mono_mod.to_mono(self.ftype.value, v),
-                               dtype=np.int64) - self.min_mono
-                planes = exact.int_limb_planes(w, self.sum_n_limbs)
-            pad = self.mono.shape[0] - planes.shape[0]
-            if pad:
-                planes = np.pad(planes, ((0, pad), (0, 0)))
-            self._sum_limbs = _put(planes, self._mesh, 2)
+            self._sum_limbs = _put(self.sum_limbs_host(), self._mesh, 2)
         return self._sum_limbs
+
+    def sum_limbs_host(self) -> np.ndarray:
+        if self.ftype == FieldType.F64:
+            return exact.f64_limb_planes(
+                self._host_values, self.f64_base_exp, self.sum_n_limbs)
+        wu = _w_u64(self._host_mono, self.min_mono)
+        return exact.int_limb_planes(wu.view(np.int64), self.sum_n_limbs)
 
     # -- lazy numeric terms dictionary ----------------------------------------
 
     def term_ids(self):
-        """(ids [len] int32, values_mono [card] np.int64) for numeric terms
-        aggs: dense group-by ids in ascending value order."""
         if self._term_ids is None:
-            m = np.asarray(mono_mod.to_mono(self.ftype.value, self._host_values),
-                           dtype=np.int64)
+            m = self._host_mono
             real = m if self._host_valid is None else m[self._host_valid]
             uniq = np.unique(real) if real.size else np.zeros(1, np.int64)
             ids = np.clip(np.searchsorted(uniq, m), 0, len(uniq) - 1) \
-                .astype(np.int32)
-            pad = self.mono.shape[0] - ids.shape[0]
-            if pad:
-                ids = np.pad(ids, (0, pad))
+                .astype(I32)
+            if self._host_valid is not None:
+                ids = np.where(self._host_valid, ids, -1)
+            self._term_ids_host = ids
             self._term_ids = _put(ids, self._mesh, 1)
             self._term_values_mono = uniq
         return self._term_ids, self._term_values_mono
 
     @property
     def card(self) -> int:
-        """Static bucket cardinality for terms aggs."""
         if self.ftype == FieldType.KEYWORD:
             return max(1, len(self.terms))
-        _, uniq = self.term_ids()
-        return max(1, len(uniq))
+        self.term_ids()
+        return max(1, len(self._term_values_mono))
 
     def min_user(self):
         return mono_mod.scalar_from_mono(self.ftype.value, self.min_mono)
+
+    # -- per-doc pre-aggregates for CSR metric aggs ---------------------------
+    # Static and exact: computed once from the (query-independent) full value
+    # set, so metric aggs over multi-valued fields reduce in DOC space —
+    # no per-query value-row gathers (measured pathological on this TPU).
+
+    def doc_preagg_host(self, T: int) -> dict:
+        if self._doc_preagg is None:
+            docs = self._orig_docs
+            n = docs.shape[0]
+            cnt = np.bincount(docs, minlength=T).astype(I32) if n \
+                else np.zeros(T, I32)
+            # per-doc exact sums -> canonical signed 26-bit limb planes
+            if self.ftype == FieldType.F64:
+                row_planes = exact.f64_limb_planes(
+                    self._orig_values, self.f64_base_exp, self.sum_n_limbs)
+            else:
+                wu = _w_u64(np.asarray(mono_mod.to_mono(
+                    self.ftype.value, self._orig_values), np.int64),
+                    self.min_mono)
+                row_planes = exact.int_limb_planes(
+                    wu.view(np.int64), self.sum_n_limbs)
+            L = row_planes.shape[1]
+            plane_sums = np.zeros((T, L), np.int64)
+            for i in range(L):
+                plane_sums[:, i] = np.bincount(
+                    docs, weights=row_planes[:, i].astype(np.float64),
+                    minlength=T).astype(np.int64)
+            sum_planes = exact.carry_normalize_planes(plane_sums)
+            # per-doc min/max in mono domain (rows are doc-ascending)
+            offs = np.zeros(T + 1, np.int64)
+            np.cumsum(cnt, out=offs[1:])
+            monos = np.asarray(mono_mod.to_mono(
+                self.ftype.value, self._orig_values), np.int64) if n \
+                else np.zeros(0, np.int64)
+            has = cnt > 0
+            mn = np.full(T, self.min_mono, np.int64)
+            mx = np.full(T, self.min_mono, np.int64)
+            if n:
+                starts = np.minimum(offs[:-1], n - 1)
+                mn = np.where(has, np.minimum.reduceat(monos, starts),
+                              self.min_mono)
+                mx = np.where(has, np.maximum.reduceat(monos, starts),
+                              self.min_mono)
+            _, mnA, mnB = _mono_planes(mn, self.min_mono, self.span)
+            _, mxA, mxB = _mono_planes(mx, self.min_mono, self.span)
+            self._doc_preagg = {"cnt": cnt, "sum": sum_planes,
+                                "minA": mnA, "minB": mnB,
+                                "maxA": mxA, "maxB": mxB}
+        return self._doc_preagg
+
+    # -- ordered layouts ------------------------------------------------------
+
+    def bucket_layout(self) -> OrderedLayout:
+        """Rows sorted by bucket id with 32-aligned bucket boundaries, for
+        prefix-difference terms aggs (unsharded path)."""
+        if self._bucket_layout is None:
+            if self.ftype == FieldType.KEYWORD:
+                ids = np.where(self._host_valid,
+                               self._host_mono, -1).astype(I32)
+                card = max(1, len(self.terms))
+            else:
+                self.term_ids()
+                ids = self._term_ids_host
+                card = self.card
+            self._bucket_layout = _build_bucket_layout(ids, card, self._mesh)
+        return self._bucket_layout
+
+    def value_layout(self) -> OrderedLayout:
+        """Rows sorted by value (mono order), for rank-selection percentiles
+        (unsharded path)."""
+        if self._value_layout is None:
+            m = self._host_mono
+            valid = self._host_valid
+            key = m.copy()
+            if valid is not None:
+                key = np.where(valid, key, np.iinfo(np.int64).max)
+            perm = np.argsort(key, kind="stable").astype(I32)
+            n = len(perm)
+            R = _pad_to(n, PAD_BLOCK)
+            perm_p = np.zeros(R, I32)
+            perm_p[:n] = perm
+            vp = np.zeros(R, np.int8)
+            nvalid = int(valid.sum()) if valid is not None else n
+            vp[:n] = 1 if valid is None else valid[perm].astype(np.int8)
+            self._value_layout = OrderedLayout(
+                perm=perm_p, n_rows=R,
+                valid_perm=_put(vp, self._mesh, 1),
+                sorted_mono=key[perm],
+                sorted_mono_dev=None)
+        return self._value_layout
+
+
+def _build_bucket_layout(ids: np.ndarray, card: int, mesh) -> OrderedLayout:
+    """Sort row indices by id; pad each bucket to a 32-row multiple so every
+    bucket boundary is 32-aligned (coarse prefix sums then resolve bounds
+    exactly). Rows with id < 0 (missing) are excluded via valid=0."""
+    order = np.argsort(ids, kind="stable").astype(np.int64)
+    sorted_ids = ids[order]
+    # drop missing (-1) rows: they sort first
+    start = int(np.searchsorted(sorted_ids, 0))
+    order = order[start:]
+    sorted_ids = sorted_ids[start:]
+    counts = np.bincount(sorted_ids, minlength=card) if sorted_ids.size \
+        else np.zeros(card, np.int64)
+    padded = ((counts + ALIGN - 1) // ALIGN) * ALIGN
+    bounds = np.zeros(card + 1, np.int64)
+    np.cumsum(padded, out=bounds[1:])
+    R = _pad_to(int(bounds[-1]), PAD_BLOCK)
+    perm = np.zeros(R, I32)
+    valid = np.zeros(R, np.int8)
+    src_off = np.zeros(card + 1, np.int64)
+    np.cumsum(counts, out=src_off[1:])
+    # place each bucket's rows at its padded offset
+    pos = np.repeat(bounds[:-1], counts) + (
+        np.arange(len(order)) - np.repeat(src_off[:-1], counts))
+    perm[pos] = order.astype(I32)
+    valid[pos] = 1
+    return OrderedLayout(perm=perm, n_rows=R,
+                         bounds=(bounds // ALIGN).astype(I32),
+                         valid_perm=_put(valid, mesh, 1))
 
 
 @dataclass
 class DeviceIndex:
     schema: Schema
     epoch: int
-    T: int  # padded doc-axis length
-    n_docs: int  # real doc count (pre-delete)
-    total_values: int  # max real value count across fields (overflow guard)
-    alive: jnp.ndarray  # [T] bool; False on padding and deleted docs
+    T: int
+    n_docs: int
+    total_values: int
+    alive: jnp.ndarray  # [T] int8; 0 on padding and deleted docs
     columns: Dict[str, DeviceColumn]
-    #: host map global doc -> (segment, local doc) for top_hits harvest
     seg_starts: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
-    mesh: Optional[object] = None  # jax.sharding.Mesh ('d' axis) if sharded
+    mesh: Optional[object] = None
     n_shards: int = 1
+    #: host alive copy for building permuted views
+    alive_host: Optional[np.ndarray] = None
 
     def column(self, name: str) -> DeviceColumn:
         try:
@@ -158,7 +316,6 @@ class DeviceIndex:
             raise KeyError(f"field {name!r} not loaded (not FAST or unknown)")
 
     def keyword_ord(self, field: str, term: str) -> int:
-        """Global ordinal of a term, or -1 if absent (matches nothing)."""
         col = self.column(field)
         i = int(np.searchsorted(col.terms, term))
         if i < len(col.terms) and col.terms[i] == term:
@@ -167,7 +324,6 @@ class DeviceIndex:
 
 
 def load_device_index(index, mesh=None) -> DeviceIndex:
-    """Concatenate all segments and move columns to the device(s)."""
     schema: Schema = index.schema
     segments = index.segments
     if mesh is not None and tuple(mesh.axis_names) != ("d",):
@@ -176,7 +332,7 @@ def load_device_index(index, mesh=None) -> DeviceIndex:
     n_docs = sum(s.max_doc for s in segments)
     T = _pad_to(max(n_docs, 1), PAD_BLOCK * D)
 
-    alive = np.zeros(T, dtype=bool)
+    alive = np.zeros(T, dtype=np.int8)
     pos = 0
     for s in segments:
         alive[pos:pos + s.max_doc] = s.alive_mask()
@@ -187,19 +343,20 @@ def load_device_index(index, mesh=None) -> DeviceIndex:
     for entry in schema.fields:
         if not entry.fast:
             continue
-        name = entry.name
         if entry.type == FieldType.KEYWORD:
-            col = _load_csr(entry, segments, T, D, mesh, keyword=True)
-        elif any(s.fields[name].offsets is not None for s in segments):
+            if entry.cardinality == Cardinality.SINGLE:
+                col = _load_keyword_dense(entry, segments, T, mesh)
+            else:
+                col = _load_csr(entry, segments, T, D, mesh, keyword=True)
+        elif any(s.fields[entry.name].offsets is not None for s in segments):
             col = _load_csr(entry, segments, T, D, mesh, keyword=False)
         else:
             col = _load_numeric_single(entry, segments, T, mesh)
-        columns[name] = col
+        columns[entry.name] = col
         total_values = max(total_values, col.n_values)
 
     if max(total_values, n_docs) >= exact.MAX_ADDENDS:
         raise ValueError("index exceeds the exact-sum addend bound (2^36)")
-
     for col in columns.values():
         if col.ftype != FieldType.KEYWORD:
             _plan_sums(col, max(total_values, n_docs))
@@ -208,60 +365,100 @@ def load_device_index(index, mesh=None) -> DeviceIndex:
                   if segments else np.zeros(1))
     return DeviceIndex(schema=schema, epoch=index.epoch, T=T, n_docs=n_docs,
                        total_values=total_values,
-                       alive=_put(alive, mesh, 1), columns=columns,
+                       alive=_put(alive, mesh), columns=columns,
                        seg_starts=np.asarray(seg_starts, np.int64),
-                       mesh=mesh, n_shards=D)
+                       mesh=mesh, n_shards=D, alive_host=alive)
 
 
 def _plan_sums(col: DeviceColumn, max_addends: int) -> None:
     guard_bits = max(1, max_addends).bit_length()
     if col.ftype == FieldType.F64:
         col.sum_direct = False
-        real = col._real_values()
-        if real.size:
-            base, n_limbs = exact.f64_sum_plan(real)
-        else:
-            base, n_limbs = 1, 1
+        real = col._host_values if col._host_valid is None \
+            else col._host_values[col._host_valid]
+        base, n_limbs = exact.f64_sum_plan(real) if real.size else (1, 1)
         col.f64_base_exp, col.sum_n_limbs = base, n_limbs
     else:
-        span = col.max_mono - col.min_mono
-        bits = max(1, int(span).bit_length())
-        col.sum_direct = bits + guard_bits <= 63
+        bits = max(1, int(col.span).bit_length())
+        # direct = the narrow w plane itself is the exact addend
+        col.sum_direct = col.narrow
         col.sum_n_limbs = (bits + exact.LIMB_BITS - 1) // exact.LIMB_BITS
 
 
+def _w_u64(m: np.ndarray, min_mono: int) -> np.ndarray:
+    """Exact unsigned offset w = mono - min_mono (wraparound u64)."""
+    base = np.array(min_mono, np.int64).view(np.uint64)
+    return m.view(np.uint64) - base
+
+
+def _mono_planes(m: np.ndarray, min_mono: int, span: int):
+    """int64 mono values -> (narrow?, w | (hi, lo)) int32 planes."""
+    wu = _w_u64(m, min_mono)
+    if span <= NARROW_MAX_SPAN:
+        return True, wu.astype(np.int64).astype(I32), None
+    hi, lo = _split_wide(wu)
+    return False, hi, lo
+
+
 def _load_numeric_single(entry, segments, T, mesh) -> DeviceColumn:
-    parts = [s.fields[entry.name].values for s in segments]
     from .segment import numeric_dtype
+    parts = [s.fields[entry.name].values for s in segments]
     vals = (np.concatenate(parts) if parts
             else np.zeros(0, dtype=numeric_dtype(entry.type)))
     m = np.asarray(mono_mod.to_mono(entry.type.value, vals), dtype=np.int64)
     n = m.shape[0]
     min_mono = int(m.min()) if n else 0
     max_mono = int(m.max()) if n else 0
-    mono_padded = np.full(T, min_mono, dtype=np.int64)
-    mono_padded[:n] = m
-    # padded _host_values so limb rows align with mono rows; padding rows are
-    # excluded by the alive mask at query time and by _host_valid in plans
-    fill = vals[0] if n else 0
-    host = np.full(T, 0 if entry.type != FieldType.F64 else 0.0,
-                   dtype=vals.dtype if n else np.float64)
+    span = ((max_mono - min_mono) % 2**64) if n else 0
+    mono_p = np.full(T, min_mono, np.int64)
+    mono_p[:n] = m
+    host = np.zeros(T, dtype=vals.dtype if n else np.float64)
+    host[:n] = vals
     if n:
-        host[:n] = vals
         host[n:] = mono_mod.from_mono(entry.type.value,
                                       np.full(T - n, min_mono, np.int64))
-    hvalid = np.zeros(T, dtype=bool)
+    hvalid = np.zeros(T, bool)
     hvalid[:n] = True
-    return DeviceColumn(
-        name=entry.name, ftype=entry.type, multi=False,
-        mono=_put(mono_padded, mesh, 1),
-        min_mono=min_mono, max_mono=max_mono, n_values=n,
-        _mesh=mesh, _host_values=host, _host_valid=hvalid)
+    narrow, a, b = _mono_planes(mono_p, min_mono, span)
+    col = DeviceColumn(
+        name=entry.name, ftype=entry.type, multi=False, narrow=narrow,
+        min_mono=min_mono, max_mono=max_mono, span=span, n_values=n,
+        _mesh=mesh, _host_values=host, _host_valid=hvalid, _host_mono=mono_p)
+    if narrow:
+        col.w = _put(a, mesh)
+    else:
+        col.hi, col.lo = _put(a, mesh), _put(b, mesh)
+    return col
+
+
+def _load_keyword_dense(entry, segments, T, mesh) -> DeviceColumn:
+    """Single-cardinality keyword -> dense int32 global-ordinal column."""
+    name = entry.name
+    gterms = sorted(set().union(*[set(s.fields[name].terms or [])
+                                  for s in segments])) if segments else []
+    gterms = np.asarray(gterms, dtype=object)
+    ords = np.full(T, -1, I32)
+    base = 0
+    for s in segments:
+        fd = s.fields[name]
+        local = np.asarray(fd.terms or [], dtype=object)
+        remap = (np.searchsorted(gterms, local).astype(I32)
+                 if len(local) else np.zeros(0, I32))
+        offs = fd.offsets.astype(np.int64)
+        has = np.diff(offs) > 0
+        docs = np.nonzero(has)[0]
+        ords[base + docs] = remap[fd.values[offs[:-1][has]].astype(np.int64)]
+        base += s.max_doc
+    n = int((ords >= 0).sum())
+    col = DeviceColumn(
+        name=name, ftype=FieldType.KEYWORD, multi=False, narrow=True,
+        terms=gterms, n_values=n, _mesh=mesh,
+        _host_mono=ords.astype(np.int64), _host_valid=ords >= 0)
+    col.w = _put(ords, mesh)
+    return col
 
 
 def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
-    """Multi-valued numeric or keyword column: flat value rows partitioned by
-    doc shard, with shard-local doc ids."""
     from .segment import numeric_dtype
     name = entry.name
     if keyword:
@@ -287,7 +484,7 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
     if keyword:
         vals = (np.concatenate(vals_parts) if vals_parts
                 else np.zeros(0, np.int64))
-        m = np.asarray(vals, dtype=np.int64)
+        m = vals.astype(np.int64)
     else:
         vals = (np.concatenate(vals_parts) if vals_parts
                 else np.zeros(0, dtype=numeric_dtype(entry.type)))
@@ -297,8 +494,10 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
     n = m.shape[0]
     min_mono = int(m.min()) if n else 0
     max_mono = int(m.max()) if n else 0
+    span = ((max_mono - min_mono) % 2**64) if n else 0
+    if keyword:
+        min_mono, max_mono, span = 0, max_mono, int(max_mono)
 
-    # partition rows by doc shard (docs are sorted ascending by construction)
     chunk = T // D
     shard_of_row = docs // chunk if n else docs
     counts = np.bincount(shard_of_row.astype(np.int64), minlength=D) \
@@ -306,28 +505,40 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
     Vp = _pad_to(int(counts.max()) if n else 1, PAD_BLOCK)
     V = D * Vp
     mono_out = np.full(V, min_mono, np.int64)
-    doc_out = np.zeros(V, np.int32)
+    doc_out = np.zeros(V, I32)
     valid_out = np.zeros(V, bool)
-    hv_dtype = np.int64 if keyword else vals.dtype if n else np.float64
-    host_out = np.zeros(V, hv_dtype)
-    if n:
+    host_out = np.zeros(V, np.int64 if keyword else
+                        (vals.dtype if n else np.float64))
+    if not keyword and n:
         host_out[:] = mono_mod.from_mono(entry.type.value,
-                                         np.full(V, min_mono, np.int64)) \
-            if not keyword else 0
+                                         np.full(V, min_mono, np.int64))
     start = 0
     for d in range(D):
         c = int(counts[d])
         sel = slice(start, start + c)
         o = d * Vp
         mono_out[o:o + c] = m[sel]
-        doc_out[o:o + c] = (docs[sel] - d * chunk).astype(np.int32)
+        doc_out[o:o + c] = (docs[sel] - d * chunk).astype(I32)
         valid_out[o:o + c] = True
         host_out[o:o + c] = vals[sel]
         start += c
-    return DeviceColumn(
+    col = DeviceColumn(
         name=name, ftype=entry.type, multi=True,
-        mono=_put(mono_out, mesh, 1),
-        doc_id=_put(doc_out, mesh, 1), valid=_put(valid_out, mesh, 1),
         terms=gterms if keyword else None,
-        min_mono=min_mono, max_mono=max_mono, n_values=n,
-        _mesh=mesh, _host_values=host_out, _host_valid=valid_out)
+        min_mono=min_mono, max_mono=max_mono, span=span, n_values=n,
+        _mesh=mesh, _host_values=host_out, _host_valid=valid_out,
+        _host_mono=mono_out, _host_doc=doc_out,
+        _orig_docs=docs.astype(np.int64), _orig_values=vals)
+    col.doc_id = _put(doc_out, mesh)
+    col.valid = _put(valid_out.astype(np.int8), mesh)
+    if keyword:
+        col.narrow = True
+        col.w = _put(np.where(valid_out, mono_out, -1).astype(I32), mesh)
+    else:
+        narrow, a, b = _mono_planes(mono_out, min_mono, span)
+        col.narrow = narrow
+        if narrow:
+            col.w = _put(a, mesh)
+        else:
+            col.hi, col.lo = _put(a, mesh), _put(b, mesh)
+    return col

@@ -1,17 +1,20 @@
-"""Query -> docid bitmask materializer (SURVEY.md §2.1 C3 rebuild column).
+"""Query -> docid bitmask materializer, v2 (int32-plane engine).
 
-`extract_params` walks a query host-side and produces the traced scalar
-parameters (term ordinals / mono-domain bounds) keyed by tree path, so the
-same compiled program serves every query of the same shape. `eval_mask`
-runs during tracing and emits the vectorized mask algebra.
+`extract_params` maps query constants into each column's w-domain (the
+int32 offset planes of SURVEY.md §2.2 T4's monotonic mapping, re-planned
+for this hardware — see index/loader.py) with exact Python big-int
+arithmetic, clamping bounds into representable range so the traced program
+is branch-free. `eval_mask` emits pure vector compares over the planes.
 
 Exactness notes:
-- All compares happen in the int64 mono domain (order-isomorphic to user
-  values), so range semantics are exact for every field type.
-- f64 signed zeros: -0.0 == 0.0 must hold (IEEE, and the oracle's NumPy
-  compare). Equality uses two mono params (the ±0 pair); range bounds at
-  zero are normalized host-side to the mono that yields the float-correct
-  set (see _normalize_zero_bound).
+- Exclusive range bounds are normalized to inclusive in the mono domain
+  (mono is an integer bijection, so v > b == v >= b+1 for every field type
+  including f64).
+- f64 signed zeros: -0.0 == 0.0 must hold; equality carries the ±0 mono
+  pair, range bounds at zero pick the float-correct side.
+- The `prefix` argument re-targets the same query program onto a permuted
+  (OrderedLayout) view of the columns — used by the high-cardinality terms
+  and percentile fast paths, which evaluate masks directly in value order.
 """
 
 from __future__ import annotations
@@ -26,38 +29,43 @@ from ..schema import FieldType
 from ..utils import mono as mono_mod
 from ..ops import reductions as R
 
+U64_MAX = 2**64 - 1
 
-def _mono_param(ftype: FieldType, value) -> int:
+
+def _mono(ftype: FieldType, value) -> int:
     return mono_mod.scalar_to_mono(ftype.value, value)
-
-
-def _zero_pair(ftype: FieldType, value):
-    """(mono_a, mono_b): both monos a float-equal value can carry."""
-    if ftype == FieldType.F64 and float(value) == 0.0:
-        return (_mono_param(ftype, 0.0), _mono_param(ftype, -0.0))
-    m = _mono_param(ftype, value)
-    return (m, m)
-
-
-def _normalize_zero_bound(ftype: FieldType, value, *, is_lower: bool,
-                          inclusive: bool) -> int:
-    if ftype == FieldType.F64 and float(value) == 0.0:
-        # choose the mono that reproduces float compare semantics for ±0
-        if (is_lower and inclusive) or (not is_lower and not inclusive):
-            return _mono_param(ftype, -0.0)
-        return _mono_param(ftype, 0.0)
-    return _mono_param(ftype, value)
-
-
-def extract_params(query: Q.Query, dindex, path=("q",)) -> Dict[str, np.int64]:
-    """Host walk: query -> {path_key: int64 mono param}."""
-    out: Dict[str, np.int64] = {}
-    _extract(query, dindex, path, out)
-    return out
 
 
 def _key(path) -> str:
     return "/".join(map(str, path))
+
+
+def _wide_pair(w: int):
+    """u64 w -> (hi, lo) monoized int32 params."""
+    return (w >> 32) - 2**31, (w & 0xFFFFFFFF) - 2**31
+
+
+def extract_params(query: Q.Query, dindex, path=("q",)) -> Dict[str, np.int32]:
+    out: Dict[str, np.int32] = {}
+    _extract(query, dindex, path, out)
+    return out
+
+
+def _term_w_params(col, ftype, value):
+    """Exact w-domain equality targets for one user value: list of candidate
+    monos (the ±0 pair for f64 zero), each -> (present, w)."""
+    monos = [_mono(ftype, value)]
+    if ftype == FieldType.F64 and float(value) == 0.0:
+        monos = [_mono(ftype, 0.0), _mono(ftype, -0.0)]
+    outs = []
+    for m in monos:
+        if col.n_values and col.min_mono <= m <= col.max_mono:
+            outs.append(m - col.min_mono)  # exact python int, in [0, span]
+        else:
+            outs.append(None)
+    if len(outs) == 1:
+        outs.append(outs[0])
+    return outs
 
 
 def _extract(q, dindex, path, out) -> None:
@@ -65,25 +73,61 @@ def _extract(q, dindex, path, out) -> None:
         return
     if isinstance(q, Q.TermQuery):
         entry = dindex.schema.field(q.field)
+        col = dindex.column(q.field)
+        k = _key(path)
         if entry.type == FieldType.KEYWORD:
             ordv = dindex.keyword_ord(q.field, str(q.value))
-            out[_key(path) + ":term"] = np.int64(ordv)
-            out[_key(path) + ":term2"] = np.int64(ordv)
+            out[k + ":t"] = np.int32(ordv if ordv >= 0 else -2)
+            return
+        ws = _term_w_params(col, entry.type, q.value)
+        if col.narrow:
+            for i, w in enumerate(ws):
+                out[f"{k}:t{i}"] = np.int32(w if w is not None else 0)
+                out[f"{k}:tv{i}"] = np.int32(1 if w is not None else 0)
         else:
-            a, b = _zero_pair(entry.type, q.value)
-            out[_key(path) + ":term"] = np.int64(a)
-            out[_key(path) + ":term2"] = np.int64(b)
+            for i, w in enumerate(ws):
+                hi, lo = _wide_pair(w if w is not None else 0)
+                out[f"{k}:th{i}"] = np.int32(hi)
+                out[f"{k}:tl{i}"] = np.int32(lo)
+                out[f"{k}:tv{i}"] = np.int32(1 if w is not None else 0)
         return
     if isinstance(q, Q.RangeQuery):
         entry = dindex.schema.field(q.field)
         if not entry.type.is_numeric:
             raise TypeError("range query requires a numeric field")
+        col = dindex.column(q.field)
+        k = _key(path)
+        # normalize to inclusive mono bounds
         if q.lower is not None:
-            out[_key(path) + ":lo"] = np.int64(_normalize_zero_bound(
-                entry.type, q.lower, is_lower=True, inclusive=q.include_lower))
+            lo_m = _zero_bound(entry.type, q.lower, True, q.include_lower)
+            if not q.include_lower:
+                lo_m += 1
+        else:
+            lo_m = col.min_mono
         if q.upper is not None:
-            out[_key(path) + ":hi"] = np.int64(_normalize_zero_bound(
-                entry.type, q.upper, is_lower=False, inclusive=q.include_upper))
+            hi_m = _zero_bound(entry.type, q.upper, False, q.include_upper)
+            if not q.include_upper:
+                hi_m -= 1
+        else:
+            hi_m = col.max_mono
+        lo_w = lo_m - col.min_mono  # exact python ints
+        hi_w = hi_m - col.min_mono
+        if col.n_values == 0 or lo_w > col.span or hi_w < 0 or lo_w > hi_w:
+            lo_w, hi_w = 1, 0  # empty
+        else:
+            lo_w = max(0, lo_w)
+            hi_w = min(col.span, hi_w)
+        if col.narrow:
+            out[k + ":lo"] = np.int32(lo_w)
+            out[k + ":hi"] = np.int32(hi_w)
+        else:
+            lh, ll = _wide_pair(min(max(lo_w, 0), U64_MAX))
+            hh, hl = _wide_pair(min(max(hi_w, 0), U64_MAX))
+            if lo_w > hi_w:  # empty: force lexicographic impossibility
+                lh, ll = _wide_pair(1)
+                hh, hl = _wide_pair(0)
+            out[k + ":loh"], out[k + ":lol"] = np.int32(lh), np.int32(ll)
+            out[k + ":hih"], out[k + ":hil"] = np.int32(hh), np.int32(hl)
         return
     if isinstance(q, Q.BooleanQuery):
         for i, c in enumerate(q.must):
@@ -96,51 +140,79 @@ def _extract(q, dindex, path, out) -> None:
     raise TypeError(f"unknown query {type(q)!r}")
 
 
-def eval_mask(q, dindex, params, path=("q",), T=None, arrays=None) -> jnp.ndarray:
-    """Trace-time evaluation: query -> bool doc mask [T] (alive NOT applied;
-    the caller ANDs the alive mask once at the root, SURVEY.md §A.2).
+def _zero_bound(ftype: FieldType, value, is_lower: bool, inclusive: bool) -> int:
+    if ftype == FieldType.F64 and float(value) == 0.0:
+        if (is_lower and inclusive) or (not is_lower and not inclusive):
+            return _mono(ftype, -0.0)
+        return _mono(ftype, 0.0)
+    return _mono(ftype, value)
 
-    `T` is the LOCAL doc-axis length and `arrays` the program's array-input
-    dict — under shard_map these are the shard-local views, so column data
-    must be read from `arrays`, never from the captured DeviceColumn."""
-    if T is None:
-        T = dindex.T
+
+def query_fields(q: Q.Query, out=None) -> set:
+    if out is None:
+        out = set()
+    if isinstance(q, (Q.TermQuery, Q.RangeQuery)):
+        out.add(q.field)
+    elif isinstance(q, Q.BooleanQuery):
+        for c in (*q.must, *q.should, *q.must_not):
+            query_fields(c, out)
+    return out
+
+
+def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
+    """Trace-time mask evaluation over the (possibly permuted) plane view.
+    With a permuted prefix, CSR query fields are unsupported (plan-guarded:
+    permuted views only cache dense columns)."""
     if isinstance(q, Q.MatchAllQuery):
         return jnp.ones(T, dtype=bool)
     if isinstance(q, (Q.TermQuery, Q.RangeQuery)):
         col = dindex.column(q.field)
-        if arrays is not None:
-            mono = arrays[f"{q.field}:mono"]
-            doc_id = arrays.get(f"{q.field}:doc")
-            valid = arrays.get(f"{q.field}:valid")
-        else:
-            mono, doc_id, valid = col.mono, col.doc_id, col.valid
-        if isinstance(q, Q.TermQuery):
-            p1 = params[_key(path) + ":term"]
-            p2 = params[_key(path) + ":term2"]
-            hits = (mono == p1) | (mono == p2)
-        else:
-            hits = jnp.ones(mono.shape, dtype=bool)
-            if q.lower is not None:
-                lo = params[_key(path) + ":lo"]
-                hits &= (mono >= lo) if q.include_lower else (mono > lo)
-            if q.upper is not None:
-                hi = params[_key(path) + ":hi"]
-                hits &= (mono <= hi) if q.include_upper else (mono < hi)
+        k = _key(path)
+        a = lambda s: arrays[prefix + f"{q.field}:{s}"]
+        if isinstance(q, Q.TermQuery) and col.ftype == FieldType.KEYWORD:
+            hits = a("w") == params[k + ":t"]
+        elif isinstance(q, Q.TermQuery):
+            if col.narrow:
+                w = a("w")
+                hits = ((w == params[k + ":t0"]) & (params[k + ":tv0"] > 0)) \
+                    | ((w == params[k + ":t1"]) & (params[k + ":tv1"] > 0))
+            else:
+                hi, lo = a("hi"), a("lo")
+                hits = (((hi == params[k + ":th0"]) & (lo == params[k + ":tl0"])
+                         & (params[k + ":tv0"] > 0))
+                        | ((hi == params[k + ":th1"]) & (lo == params[k + ":tl1"])
+                           & (params[k + ":tv1"] > 0)))
+        else:  # range
+            if col.narrow:
+                w = a("w")
+                hits = (w >= params[k + ":lo"]) & (w <= params[k + ":hi"])
+            else:
+                hi, lo = a("hi"), a("lo")
+                ge = (hi > params[k + ":loh"]) | (
+                    (hi == params[k + ":loh"]) & (lo >= params[k + ":lol"]))
+                le = (hi < params[k + ":hih"]) | (
+                    (hi == params[k + ":hih"]) & (lo <= params[k + ":hil"]))
+                hits = ge & le
         if col.multi:
-            hits = hits & valid
-            return R.values_hit_to_doc_mask(hits, doc_id, T)
+            if prefix:
+                raise NotImplementedError(
+                    "CSR query field under a permuted view")
+            hits = hits & (arrays[f"{q.field}:valid"] > 0)
+            return R.values_hit_to_doc_mask(hits, arrays[f"{q.field}:doc"], T)
         return hits
     if isinstance(q, Q.BooleanQuery):
         m = jnp.ones(T, dtype=bool)
         for i, c in enumerate(q.must):
-            m &= eval_mask(c, dindex, params, path + ("m", i), T, arrays)
+            m &= eval_mask(c, dindex, params, path + ("m", i), T, arrays, prefix)
         if q.should and not q.must:
             s = jnp.zeros(T, dtype=bool)
+
             for i, c in enumerate(q.should):
-                s |= eval_mask(c, dindex, params, path + ("s", i), T, arrays)
+                s |= eval_mask(c, dindex, params, path + ("s", i), T, arrays,
+                               prefix)
             m &= s
         for i, c in enumerate(q.must_not):
-            m &= ~eval_mask(c, dindex, params, path + ("n", i), T, arrays)
+            m &= ~eval_mask(c, dindex, params, path + ("n", i), T, arrays,
+                            prefix)
         return m
     raise TypeError(f"unknown query {type(q)!r}")

@@ -149,6 +149,27 @@ def int_limb_planes(w: np.ndarray, n_limbs: int) -> np.ndarray:
     return out
 
 
+def carry_normalize_planes(plane_sums: np.ndarray) -> np.ndarray:
+    """Per-row int64 sums of 26-bit limb planes -> canonical signed 26-bit
+    int32 limb planes (two extra planes absorb carries; the last plane is
+    signed). Exact: sum_i out[..., i] << 26i == sum_i plane_sums[..., i] << 26i.
+    Used to precompute per-doc exact sums of multi-valued fields so metric
+    aggs over CSR fields reduce in doc space (no per-query row gathers)."""
+    plane_sums = np.asarray(plane_sums, dtype=np.int64)
+    L = plane_sums.shape[-1]
+    out = np.empty(plane_sums.shape[:-1] + (L + 2,), dtype=np.int32)
+    carry = np.zeros(plane_sums.shape[:-1], dtype=np.int64)
+    for i in range(L):
+        t = plane_sums[..., i] + carry
+        lo = t - ((t >> LIMB_BITS) << LIMB_BITS)  # floor split: in [0, 2^26)
+        carry = t >> LIMB_BITS
+        out[..., i] = lo
+    lo = carry - ((carry >> LIMB_BITS) << LIMB_BITS)
+    out[..., L] = lo
+    out[..., L + 1] = carry >> LIMB_BITS  # signed tail
+    return out
+
+
 def int_reconstruct_sum(limb_sums: np.ndarray) -> int:
     total = 0
     for i, s in enumerate(np.asarray(limb_sums).tolist()):
