@@ -112,6 +112,7 @@ class Program:
                                check_vma=False)
         self.raw_fn = fn
         self._fn = jax.jit(fn)
+        self._fn_vmapped = None  # lazily compiled msearch variant
 
     # ======================================================================
     # public
@@ -124,6 +125,63 @@ class Program:
         params = qc.extract_params(query, self.dindex)
         self._extract_filter_params(aggs, ("a",), params)
         return self._fn(params, self._arrays)
+
+    # -- msearch: B same-shape queries in ONE device dispatch ---------------
+    # (Elasticsearch Multi-Search parity; also the serving-throughput mode —
+    # column passes are shared across the batch, and the per-dispatch floor
+    # of the device link is paid once instead of B times.)
+
+    def submit_many(self, queries, aggs):
+        if self._fn_vmapped is None:
+            self._fn_vmapped = jax.jit(jax.vmap(
+                self.raw_fn, in_axes=(0, None)))
+        plist = []
+        for q in queries:
+            params = qc.extract_params(q, self.dindex)
+            self._extract_filter_params(aggs, ("a",), params)
+            plist.append(params)
+        stacked = {k: jnp.asarray(np.stack([p[k] for p in plist]))
+                   for k in plist[0]}
+        # param-less queries (match-all) still need a mapped axis for vmap
+        stacked["__b__"] = jnp.zeros(len(plist), I32)
+        return self._fn_vmapped(stacked, self._arrays)
+
+    def finalize_many(self, raw, aggs, B: int):
+        stripped, big = self.fetch_strip(aggs, raw)  # leaves carry [B, ...]
+        host_b = jax.device_get(stripped)
+        hosts = [jax.tree_util.tree_map(lambda a: a[b], host_b)
+                 for b in range(B)]
+        if big:
+            # batch the phase-2 rank/take gathers across all B queries
+            ranks_per_path = {}
+            for path, dev in big.items():
+                p = self.plan[path]
+                for b in range(B):
+                    node_host = self._node_at(hosts[b], path)
+                    m = int(node_host["m"])
+                    fracs, ranks = [], []
+                    for q in p["percents"]:
+                        lo, hi, fr = ((0, 0, 0.0) if m == 0
+                                      else exact.percentile_rank(q, m))
+                        fracs.append(fr)
+                        ranks.extend([lo, hi])
+                    node_host["_fracs"] = fracs
+                    ranks_per_path.setdefault(path, []).append(ranks)
+            gathers = {}
+            for path, dev in big.items():
+                p = self.plan[path]
+                ranks = jnp.asarray(ranks_per_path[path], I64)  # [B, 2P]
+                if p["pmode"] == "rank":
+                    cum32, vm = dev
+                    gathers[path] = jax.vmap(_rank_select)(cum32, vm, ranks)
+                else:
+                    gathers[path] = jax.vmap(
+                        lambda a, i: a[i])(dev, ranks.astype(I32))
+            got = jax.device_get(gathers)
+            for path, vals in got.items():
+                for b in range(B):
+                    self._node_at(hosts[b], path)["pvals"] = vals[b]
+        return [self.harvest_host(h, aggs) for h in hosts]
 
     def finalize(self, raw, aggs):
         stripped, big = self.fetch_strip(aggs, raw)

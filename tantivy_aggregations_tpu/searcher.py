@@ -53,29 +53,31 @@ class Searcher:
         return self._program_for(query, aggs).run(query, aggs)
 
     def agg_search_batch(self, requests) -> list:
-        """Pipelined execution of [(query, aggs), ...]: all device programs
-        are dispatched asynchronously before any result is fetched, hiding
-        per-call dispatch latency (the serving-throughput pattern; the
-        reference is strictly synchronous per query, SURVEY.md §3.1)."""
+        """Multi-search ("msearch") execution of [(query, aggs), ...].
+
+        Runs of consecutive requests sharing the same (query shape, agg
+        shape) are vmapped into ONE device dispatch — column passes are
+        shared across the batch and the per-dispatch overhead of the device
+        link is paid once per group instead of once per query. Groups with
+        different shapes are dispatched asynchronously back-to-back, and
+        all device->host transfers are batched. (The reference is strictly
+        synchronous per query — SURVEY.md §3.1; this is the TPU-native
+        serving pattern.)"""
         import jax
-        submitted = []
+        # group consecutive same-shape requests
+        groups = []  # (prog, [queries], aggs)
         for query, aggs in requests:
             prog = self._program_for(query, aggs)
-            submitted.append((prog, prog.submit(query, aggs), aggs))
-        # ONE device->host transfer for all queries' small fruits, then one
-        # more for all percentile rank gathers (instead of 1-2 round-trips
-        # per query — the transfer link dominates small-result latency)
-        strippeds = []
-        for prog, raw, aggs in submitted:
-            strippeds.append(prog.fetch_strip(aggs, raw))
-        hosts = jax.device_get([s for s, _ in strippeds])
-        all_gathers = []
-        for (prog, raw, aggs), host, (_, big) in zip(submitted, hosts,
-                                                     strippeds):
-            all_gathers.append(prog.percentile_gathers(host, big))
-        if any(all_gathers):
-            got = jax.device_get(all_gathers)
-            for (prog, raw, aggs), host, g in zip(submitted, hosts, got):
-                prog.attach_percentiles(host, g)
-        return [prog.harvest_host(host, aggs)
-                for (prog, raw, aggs), host in zip(submitted, hosts)]
+            if groups and groups[-1][0] is prog and groups[-1][2] is aggs:
+                groups[-1][1].append(query)
+            else:
+                groups.append((prog, [query], aggs))
+        results = []
+        for prog, queries, aggs in groups:
+            if len(queries) == 1:
+                results.append(prog.finalize(
+                    prog.submit(queries[0], aggs), aggs))
+            else:
+                raw = prog.submit_many(queries, aggs)
+                results.extend(prog.finalize_many(raw, aggs, len(queries)))
+        return results

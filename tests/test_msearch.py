@@ -1,0 +1,61 @@
+"""Multi-search (vmapped batch) parity: agg_search_batch must equal
+per-query agg_search / oracle results for same-shape and mixed batches."""
+
+import pytest
+
+from tantivy_aggregations_tpu import (
+    MatchAllQuery,
+    RangeQuery,
+    TermQuery,
+    avg_agg,
+    count_agg,
+    filter_agg,
+    histogram_agg,
+    percentiles_agg,
+    sum_agg,
+    terms_agg,
+)
+
+from fixtures import basic_index, random_index
+
+
+def test_msearch_same_shape():
+    idx = random_index(11, n_docs=300, n_segments=2)
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("price"),
+            "p": percentiles_agg("price"),
+            "t": terms_agg("cat", size=5, sub_aggs={"q": sum_agg("qty")}),
+            "h": histogram_agg("qty", interval=101)}
+    queries = [TermQuery("cat", f"cat{i:04d}") for i in range(6)]
+    got = s.agg_search_batch([(q, aggs) for q in queries])
+    for q, r in zip(queries, got):
+        assert r == o.agg_search(q, aggs)
+
+
+def test_msearch_mixed_shapes():
+    idx = basic_index(num_segments=2)
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    a1 = {"n": count_agg()}
+    a2 = {"s": sum_agg("price"), "a": avg_agg("scores")}
+    reqs = [(MatchAllQuery(), a1), (MatchAllQuery(), a1),
+            (TermQuery("cat", "a"), a1),
+            (RangeQuery("qty", lower=3), a2),
+            (RangeQuery("qty", lower=5), a2)]
+    got = s.agg_search_batch(reqs)
+    for (q, a), r in zip(reqs, got):
+        assert r == o.agg_search(q, a)
+
+
+def test_msearch_range_params_vary():
+    idx = random_index(13, n_docs=400, n_segments=3)
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "f": filter_agg(TermQuery("tags", "t2"),
+                                              sub_aggs={"s": sum_agg("qty")})}
+    reqs = [(RangeQuery("delta", lower=-500 + 100 * i, upper=100 * i), aggs)
+            for i in range(8)]
+    got = s.agg_search_batch(reqs)
+    for (q, a), r in zip(reqs, got):
+        assert r == o.agg_search(q, a)
