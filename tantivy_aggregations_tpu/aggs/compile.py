@@ -84,9 +84,13 @@ class SlotCtx:
 
 
 class Program:
-    def __init__(self, dindex, query: Q.Query, aggs: Dict[str, A.Agg]):
+    def __init__(self, dindex, query: Q.Query, aggs: Dict[str, A.Agg],
+                 config=None):
+        from ..engine_config import EngineConfig
         A.validate_agg_tree(dindex.schema, aggs)
         self.dindex = dindex
+        self.config = config or EngineConfig()
+        self.dense_nb = self.config.dense_nb
         self._sharded = dindex.mesh is not None
         self.plan: Dict[tuple, dict] = {}
         self._arrays: Dict[str, object] = {"alive": dindex.alive}
@@ -223,7 +227,7 @@ class Program:
         self._arrays[key] = arr
 
     def _need_col_planes(self, col):
-        if col.narrow or col.ftype == FieldType.KEYWORD:
+        if col.narrow or col.ftype.is_stringy:
             self._need(f"{col.name}:w", col.w)
         else:
             self._need(f"{col.name}:hi", col.hi)
@@ -267,7 +271,7 @@ class Program:
             if colf.multi:
                 raise NotImplementedError("CSR query field in permuted view")
             hp = self._host_planes(colf)
-            if colf.narrow or colf.ftype == FieldType.KEYWORD:
+            if colf.narrow or colf.ftype.is_stringy:
                 cache(f"{f}:w", lambda hp=hp: hp[0][perm])
             else:
                 cache(f"{f}:hi", lambda hp=hp: hp[0][perm])
@@ -296,7 +300,7 @@ class Program:
     def _host_planes(self, col):
         if getattr(col, "_host_planes_cache", None) is None:
             from ..index.loader import _mono_planes
-            if col.ftype == FieldType.KEYWORD:
+            if col.ftype.is_stringy:
                 a = np.where(col._host_valid, col._host_mono, -1) \
                     .astype(np.int32)
                 col._host_planes_cache = (a, None)
@@ -440,10 +444,10 @@ class Program:
             k_min, bounds_mono = exact.f64_histogram_buckets(
                 lo, hi, float(node.interval), float(node.offset))
             nb = len(bounds_mono) + 1
-            if nb - 1 > DENSE_NB:
+            if nb - 1 > max(DENSE_NB, self.dense_nb):
                 raise NotImplementedError(
                     f"f64 histogram with {nb} buckets exceeds the "
-                    f"compare-sum budget ({DENSE_NB})")
+                    "compare-sum budget")
             # rm domain: rm = (mono - min_mono) - 2^63
             rb = [_wrap64((int(b) - col.min_mono) - 2**63)
                   for b in bounds_mono]
@@ -479,7 +483,7 @@ class Program:
         nb = p["nb"]
         if tflat * nb >= 2**31:
             raise ValueError("composite bucket slot space exceeds 2^31")
-        p["mode"] = ("dense" if tflat * nb <= DENSE_NB else "scatter")
+        p["mode"] = ("dense" if tflat * nb <= self.dense_nb else "scatter")
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
         self.plan[path] = p
@@ -498,7 +502,7 @@ class Program:
         p = {"kind": "terms", "ftype": col.ftype, "multi": col.multi,
              "hdims": hdims}
         self._need_col_planes(col)
-        if col.ftype == FieldType.KEYWORD:
+        if col.ftype.is_stringy:
             card = col.card
             p["keys"] = col.terms
         else:
@@ -517,7 +521,7 @@ class Program:
 
         sub_kinds_ok = all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
                            for _, s in node.sub_aggs)
-        if tflat * card <= DENSE_NB:
+        if tflat * card <= self.dense_nb:
             p["mode"] = "dense"
         elif (not in_slot and not self._sharded and not col.multi
               and sub_kinds_ok and self._chain_is_dense(chain)):
@@ -571,13 +575,13 @@ class Program:
         col = self._col(field)
         g = lambda k: (arrays[f"{field}:{k}"] if rows_doc is None
                        else arrays[f"{field}:{k}"][rows_doc])
-        if col.narrow or col.ftype == FieldType.KEYWORD:
+        if col.narrow or col.ftype.is_stringy:
             return {"w": g("w")}
         return {"hi": g("hi"), "lo": g("lo")}
 
     def _recon_rm(self, field, planes):
         col = self._col(field)
-        if col.narrow or col.ftype == FieldType.KEYWORD:
+        if col.narrow or col.ftype.is_stringy:
             return planes["w"].astype(I64)
         return R.wide_recon(planes["hi"], planes["lo"])
 
@@ -807,7 +811,7 @@ class Program:
         col = self._col(field)
         if p["hmode"] == "empty":
             base = arrays[f"{field}:w"] if (col.narrow or
-                                            col.ftype == FieldType.KEYWORD) \
+                                            col.ftype.is_stringy) \
                 else arrays[f"{field}:hi"]
             return jnp.zeros(base.shape, I32)
         if p["hmode"] == "direct32":
@@ -891,7 +895,7 @@ class Program:
         if p["mode"] == "prefix":
             return self._eval_terms_prefix(node, ctx, params, arrays, path, p)
 
-        ids = arrays[f"{field}:w"] if col.ftype == FieldType.KEYWORD \
+        ids = arrays[f"{field}:w"] if col.ftype.is_stringy \
             else arrays[f"{field}:tid"]
         if isinstance(ctx, MaskCtx):
             if col.multi:
@@ -1220,7 +1224,7 @@ class Program:
             if c == 0:
                 continue
             tid = int(ids[flat])
-            if ftype == FieldType.KEYWORD:
+            if ftype.is_stringy:
                 key = str(p["keys"][tid])
             else:
                 key = self._user_scalar(ftype, int(p["keys_mono"][tid]))
@@ -1271,5 +1275,5 @@ def _rank_select(cum32, vmask_perm, ranks):
     return jax.vmap(one)(targets)
 
 
-def get_program(dindex, query, aggs) -> Program:
-    return Program(dindex, query, aggs)
+def get_program(dindex, query, aggs, config=None) -> Program:
+    return Program(dindex, query, aggs, config=config)

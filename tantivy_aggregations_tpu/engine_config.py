@@ -1,0 +1,23 @@
+"""EngineConfig: the engine's (deliberately small) tuning surface.
+
+The reference has no flag system — everything is typed constructor
+arguments (SURVEY.md §5); this engine keeps that posture and exposes only
+the hardware-mapping knobs that plan-time mode selection uses."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    #: blocked one-hot bucket budget: bucket aggs with a flat slot space up
+    #: to this size use compare-reduce; larger use prefix/scatter paths
+    dense_nb: int = 256
+    #: collect per-query QueryStats on the searcher (last_stats)
+    collect_stats: bool = False
+
+    def validate(self) -> "EngineConfig":
+        if self.dense_nb < 1:
+            raise ValueError("dense_nb must be >= 1")
+        return self

@@ -74,6 +74,112 @@ class Index:
     def max_doc_total(self) -> int:
         return sum(s.max_doc for s in self.segments)
 
+    # -- doc store: reconstruct stored documents from columns -----------------
+    # (tantivy's doc store analog; this engine's columns are lossless for
+    # fast fields, so retrieval reads them back. TEXT fields return their
+    # token lists — original byte-exact text is not retained, documented.)
+
+    def doc(self, segment: int, doc_id: int) -> dict:
+        from ..schema import Cardinality, FieldType
+        seg = self.segments[segment]
+        if not (0 <= doc_id < seg.max_doc):
+            raise IndexError(f"doc {doc_id} out of range")
+        out = {}
+        for entry in self.schema.fields:
+            fd = seg.fields[entry.name]
+            if entry.type.is_stringy:
+                lo, hi = int(fd.offsets[doc_id]), int(fd.offsets[doc_id + 1])
+                vals = [fd.terms[int(o)] for o in fd.values[lo:hi]]
+                if entry.cardinality == Cardinality.SINGLE:
+                    if vals:
+                        out[entry.name] = vals[0]
+                else:
+                    out[entry.name] = vals
+            elif fd.offsets is not None:
+                lo, hi = int(fd.offsets[doc_id]), int(fd.offsets[doc_id + 1])
+                conv = float if entry.type == FieldType.F64 else int
+                out[entry.name] = [conv(v) for v in fd.values[lo:hi]]
+            else:
+                conv = float if entry.type == FieldType.F64 else int
+                out[entry.name] = conv(fd.values[doc_id])
+        return out
+
+    # -- segment merging (tantivy merge-policy analog, SURVEY.md §2.2 T2) -----
+
+    def merge_segments(self) -> str:
+        """Compact all segments into one, dropping deleted docs. Returns the
+        new segment id."""
+        import os
+        import shutil
+        import uuid
+        from ..schema import Cardinality
+        from .segment import Segment, SegmentFieldData
+        import numpy as np
+        if not self.segments:
+            raise ValueError("no segments to merge")
+        old = list(self.segments)
+        keep_masks = [s.alive_mask() for s in old]
+        new_max = int(sum(m.sum() for m in keep_masks))
+        fields = {}
+        for entry in self.schema.fields:
+            name = entry.name
+            if entry.type.is_stringy:
+                gterms = sorted(set().union(*[set(s.fields[name].terms or [])
+                                              for s in old]))
+                ord_of = {t: i for i, t in enumerate(gterms)}
+                offs = np.zeros(new_max + 1, np.uint32)
+                flat = []
+                pos = 0
+                for s, keep in zip(old, keep_masks):
+                    fd = s.fields[name]
+                    so = fd.offsets.astype(np.int64)
+                    remap = np.asarray([ord_of[t] for t in (fd.terms or [])],
+                                       dtype=np.int64)
+                    for d in np.nonzero(keep)[0]:
+                        for o in fd.values[so[d]:so[d + 1]]:
+                            flat.append(remap[int(o)])
+                        pos += 1
+                        offs[pos] = len(flat)
+                # re-sort the merged table is already sorted (set union)
+                # prune unused terms for tantivy-merge parity
+                used = sorted(set(flat))
+                if len(used) != len(gterms):
+                    newmap = {u: i for i, u in enumerate(used)}
+                    flat = [newmap[o] for o in flat]
+                    gterms = [gterms[u] for u in used]
+                fields[name] = SegmentFieldData(
+                    np.asarray(flat, np.uint32), offs, gterms)
+            elif entry.cardinality == Cardinality.MULTI:
+                offs = np.zeros(new_max + 1, np.uint32)
+                parts = []
+                pos = 0
+                total = 0
+                for s, keep in zip(old, keep_masks):
+                    fd = s.fields[name]
+                    so = fd.offsets.astype(np.int64)
+                    for d in np.nonzero(keep)[0]:
+                        parts.append(fd.values[so[d]:so[d + 1]])
+                        total += so[d + 1] - so[d]
+                        pos += 1
+                        offs[pos] = total
+                vals = (np.concatenate(parts) if parts
+                        else np.zeros(0, old[0].fields[name].values.dtype))
+                fields[name] = SegmentFieldData(vals, offs)
+            else:
+                parts = [s.fields[name].values[keep]
+                         for s, keep in zip(old, keep_masks)]
+                fields[name] = SegmentFieldData(np.concatenate(parts))
+        seg = Segment(uuid.uuid4().hex[:12], new_max, fields)
+        # swap in the merged segment
+        if self.path is not None:
+            for s in old:
+                shutil.rmtree(os.path.join(self.path, f"seg_{s.id}"),
+                              ignore_errors=True)
+        self.segments = []
+        self._add_segment(seg)
+        self._commit_meta()
+        return seg.id
+
     # -- internal hooks used by IndexWriter ------------------------------------
 
     def _add_segment(self, seg: Segment) -> None:

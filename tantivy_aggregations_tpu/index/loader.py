@@ -164,7 +164,7 @@ class DeviceColumn:
 
     @property
     def card(self) -> int:
-        if self.ftype == FieldType.KEYWORD:
+        if self.ftype.is_stringy:
             return max(1, len(self.terms))
         self.term_ids()
         return max(1, len(self._term_values_mono))
@@ -228,7 +228,7 @@ class DeviceColumn:
         """Rows sorted by bucket id with 32-aligned bucket boundaries, for
         prefix-difference terms aggs (unsharded path)."""
         if self._bucket_layout is None:
-            if self.ftype == FieldType.KEYWORD:
+            if self.ftype.is_stringy:
                 ids = np.where(self._host_valid,
                                self._host_mono, -1).astype(I32)
                 card = max(1, len(self.terms))
@@ -343,7 +343,7 @@ def load_device_index(index, mesh=None) -> DeviceIndex:
     for entry in schema.fields:
         if not entry.fast:
             continue
-        if entry.type == FieldType.KEYWORD:
+        if entry.type.is_stringy:
             if entry.cardinality == Cardinality.SINGLE:
                 col = _load_keyword_dense(entry, segments, T, mesh)
             else:

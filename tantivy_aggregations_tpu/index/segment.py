@@ -107,7 +107,7 @@ def read_segment(dirpath: str, schema: Schema) -> Segment:
     fields: Dict[str, SegmentFieldData] = {}
     for name, finfo in meta["fields"].items():
         entry = schema.field(name)
-        if entry.type == FieldType.KEYWORD:
+        if entry.type.is_stringy:
             values = np.fromfile(os.path.join(dirpath, f"{name}.values.bin"),
                                  dtype=np.uint32)
             offsets = np.fromfile(os.path.join(dirpath, f"{name}.offsets.bin"),

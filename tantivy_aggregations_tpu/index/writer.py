@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from ..schema import Cardinality, FieldType, Schema
+from ..utils.tokenize import tokenize
 from .segment import Segment, SegmentFieldData, numeric_dtype
 
 
@@ -112,13 +113,17 @@ class IndexWriter:
         fields: Dict[str, SegmentFieldData] = {}
         for entry in self._schema.fields:
             name, ftype, card = entry.name, entry.type, entry.cardinality
-            if ftype == FieldType.KEYWORD:
+            if ftype.is_stringy:
                 per_doc: List[List[str]] = []
                 for d, _ in docs:
                     vals = _as_value_list(d.get(name, []))
                     if card == Cardinality.SINGLE and len(vals) > 1:
                         raise ValueError(f"field {name!r} is single-valued")
-                    per_doc.append([str(v) for v in vals])
+                    if ftype == FieldType.TEXT:
+                        per_doc.append([t for v in vals
+                                        for t in tokenize(str(v))])
+                    else:
+                        per_doc.append([str(v) for v in vals])
                 terms = sorted({t for vals in per_doc for t in vals})
                 ord_of = {t: i for i, t in enumerate(terms)}
                 offsets = np.zeros(max_doc + 1, dtype=np.uint32)
@@ -161,19 +166,25 @@ class IndexWriter:
         for entry in self._schema.fields:
             name, ftype, card = entry.name, entry.type, entry.cardinality
             if name not in cols:
-                if ftype == FieldType.KEYWORD or card == Cardinality.MULTI:
+                if ftype.is_stringy or card == Cardinality.MULTI:
                     fields[name] = SegmentFieldData(
-                        np.zeros(0, dtype=np.uint32 if ftype == FieldType.KEYWORD
+                        np.zeros(0, dtype=np.uint32 if ftype.is_stringy
                                  else numeric_dtype(ftype)),
                         np.zeros(max_doc + 1, dtype=np.uint32),
-                        [] if ftype == FieldType.KEYWORD else None)
+                        [] if ftype.is_stringy else None)
                 else:
                     fields[name] = SegmentFieldData(
                         np.zeros(max_doc, dtype=numeric_dtype(ftype)))
                 continue
             col = cols[name]
-            if ftype == FieldType.KEYWORD:
-                if isinstance(col, tuple):
+            if ftype.is_stringy:
+                if ftype == FieldType.TEXT:
+                    per_doc_tokens = [tokenize(str(v)) for v in col]
+                    offsets = np.zeros(max_doc + 1, dtype=np.uint32)
+                    np.cumsum([len(t) for t in per_doc_tokens],
+                              out=offsets[1:])
+                    values = [t for ts in per_doc_tokens for t in ts]
+                elif isinstance(col, tuple):
                     offsets, values = col
                     offsets = np.asarray(offsets, dtype=np.uint32)
                     values = [str(v) for v in values]
@@ -208,7 +219,7 @@ class IndexWriter:
     def _doc_matches_term(self, seg: Segment, field: str, value) -> np.ndarray:
         entry = self._schema.field(field)
         fd = seg.fields[field]
-        if entry.type == FieldType.KEYWORD:
+        if entry.type.is_stringy:
             try:
                 ordv = fd.terms.index(str(value))
             except ValueError:

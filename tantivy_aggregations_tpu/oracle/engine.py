@@ -57,7 +57,7 @@ class OracleSearcher:
     def _term_mask(self, field: str, value, seg: Segment) -> np.ndarray:
         entry = self.schema.field(field)
         fd = seg.fields[field]
-        if entry.type == FieldType.KEYWORD:
+        if entry.type.is_stringy:
             # binary search in the sorted segment-local term table
             i = np.searchsorted(np.asarray(fd.terms, dtype=object), str(value))
             if i >= len(fd.terms) or fd.terms[i] != str(value):
@@ -69,9 +69,26 @@ class OracleSearcher:
 
     def _range_mask(self, q: Q.RangeQuery, seg: Segment) -> np.ndarray:
         entry = self.schema.field(q.field)
-        if not entry.type.is_numeric:
-            raise TypeError("range query requires a numeric field")
         fd = seg.fields[q.field]
+        if entry.type.is_stringy:
+            # lexicographic range over the sorted term table (ord order ==
+            # lexicographic order)
+            terms = np.asarray(fd.terms, dtype=object)
+            lo_ord = 0
+            hi_ord = len(terms) - 1
+            if q.lower is not None:
+                side = "left" if q.include_lower else "right"
+                lo_ord = int(np.searchsorted(terms, str(q.lower), side=side))
+            if q.upper is not None:
+                side = "right" if q.include_upper else "left"
+                hi_ord = int(np.searchsorted(terms, str(q.upper), side=side)) - 1
+            hit = (fd.values >= np.uint32(max(lo_ord, 0))) \
+                & (fd.values <= np.uint32(max(hi_ord, 0))) \
+                if hi_ord >= lo_ord and hi_ord >= 0 \
+                else np.zeros(fd.values.shape, bool)
+            return self._vals_hit_to_doc_mask(hit, fd, seg)
+        if not entry.type.is_numeric:
+            raise TypeError("range query requires a numeric or string field")
         dtype = numeric_dtype(entry.type)
         v = fd.values
         hit = np.ones(v.shape, dtype=bool)
@@ -255,7 +272,7 @@ class OracleSearcher:
                 vmask = mask[doc_of_val]
                 docs = doc_of_val[vmask]
                 vals = fd.values[vmask]
-            if ftype == FieldType.KEYWORD:
+            if ftype.is_stringy:
                 terms = np.asarray(fd.terms, dtype=object)
                 keys = terms[vals] if vals.size else np.zeros(0, dtype=object)
             else:
@@ -264,7 +281,7 @@ class OracleSearcher:
             uk, cnt = (np.unique(keys, return_counts=True) if keys.size
                        else (np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)))
             for k, c in zip(uk.tolist(), cnt.tolist()):
-                kk = k if ftype == FieldType.KEYWORD else self._user_scalar(ftype, k)
+                kk = k if ftype.is_stringy else self._user_scalar(ftype, k)
                 counter[kk] = counter.get(kk, 0) + int(c)
         # order: count desc, key asc; truncate to size (§A.6)
         ordered = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -274,7 +291,7 @@ class OracleSearcher:
         for key, doc_count in top:
             refined = []
             for seg, docs, keys in per_seg_rows:
-                if ftype == FieldType.KEYWORD:
+                if ftype.is_stringy:
                     sel = keys == key
                 else:
                     sel = keys == numeric_dtype(ftype)(key)
@@ -467,7 +484,7 @@ class OracleSearcher:
                 doc_of_val = np.repeat(np.arange(seg.max_doc), reps)
                 docs = np.repeat(doc_of_val, w[doc_of_val])
                 vals = np.repeat(fd.values, w[doc_of_val])
-            if ftype == FieldType.KEYWORD:
+            if ftype.is_stringy:
                 terms = np.asarray(fd.terms, dtype=object)
                 keys = terms[vals] if vals.size else np.zeros(0, dtype=object)
             else:
@@ -476,7 +493,7 @@ class OracleSearcher:
             uk, cnt = (np.unique(keys, return_counts=True) if keys.size
                        else (np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)))
             for k, c in zip(uk.tolist(), cnt.tolist()):
-                kk = k if ftype == FieldType.KEYWORD else self._user_scalar(ftype, k)
+                kk = k if ftype.is_stringy else self._user_scalar(ftype, k)
                 counter[kk] = counter.get(kk, 0) + int(c)
         ordered = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
         top = ordered[: agg.size]
@@ -485,7 +502,7 @@ class OracleSearcher:
         for key, doc_count in top:
             refined = []
             for seg, docs, keys in per_seg_rows:
-                sel = keys == (key if ftype == FieldType.KEYWORD
+                sel = keys == (key if ftype.is_stringy
                                else numeric_dtype(ftype)(key))
                 sel_docs = docs[sel]
                 occ = np.zeros(seg.max_doc, dtype=np.int64)

@@ -75,7 +75,7 @@ def _extract(q, dindex, path, out) -> None:
         entry = dindex.schema.field(q.field)
         col = dindex.column(q.field)
         k = _key(path)
-        if entry.type == FieldType.KEYWORD:
+        if entry.type.is_stringy:
             ordv = dindex.keyword_ord(q.field, str(q.value))
             out[k + ":t"] = np.int32(ordv if ordv >= 0 else -2)
             return
@@ -93,10 +93,27 @@ def _extract(q, dindex, path, out) -> None:
         return
     if isinstance(q, Q.RangeQuery):
         entry = dindex.schema.field(q.field)
-        if not entry.type.is_numeric:
-            raise TypeError("range query requires a numeric field")
         col = dindex.column(q.field)
         k = _key(path)
+        if entry.type.is_stringy:
+            # lexicographic range -> inclusive global-ordinal range
+            card = len(col.terms)
+            lo_ord, hi_ord = 0, card - 1
+            if q.lower is not None:
+                side = "left" if q.include_lower else "right"
+                lo_ord = int(np.searchsorted(col.terms, str(q.lower),
+                                             side=side))
+            if q.upper is not None:
+                side = "right" if q.include_upper else "left"
+                hi_ord = int(np.searchsorted(col.terms, str(q.upper),
+                                             side=side)) - 1
+            if card == 0 or hi_ord < lo_ord or hi_ord < 0:
+                lo_ord, hi_ord = 1, 0  # empty
+            out[k + ":lo"] = np.int32(lo_ord)
+            out[k + ":hi"] = np.int32(max(hi_ord, 0))
+            return
+        if not entry.type.is_numeric:
+            raise TypeError("range query requires a numeric or string field")
         # normalize to inclusive mono bounds
         if q.lower is not None:
             lo_m = _zero_bound(entry.type, q.lower, True, q.include_lower)
@@ -169,7 +186,7 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
         col = dindex.column(q.field)
         k = _key(path)
         a = lambda s: arrays[prefix + f"{q.field}:{s}"]
-        if isinstance(q, Q.TermQuery) and col.ftype == FieldType.KEYWORD:
+        if isinstance(q, Q.TermQuery) and col.ftype.is_stringy:
             hits = a("w") == params[k + ":t"]
         elif isinstance(q, Q.TermQuery):
             if col.narrow:

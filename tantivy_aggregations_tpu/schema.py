@@ -22,10 +22,15 @@ class FieldType(str, Enum):
     F64 = "f64"
     DATE = "date"  # stored as u64 microseconds since epoch
     KEYWORD = "keyword"  # exact-match string, dictionary-encoded to ordinals
+    TEXT = "text"  # tokenized full text; tokens dictionary-encoded (CSR)
 
     @property
     def is_numeric(self) -> bool:
         return self in (FieldType.U64, FieldType.I64, FieldType.F64, FieldType.DATE)
+
+    @property
+    def is_stringy(self) -> bool:
+        return self in (FieldType.KEYWORD, FieldType.TEXT)
 
 
 class Cardinality(str, Enum):
@@ -120,6 +125,12 @@ class SchemaBuilder:
 
     def add_keyword_field(self, name, cardinality=Cardinality.SINGLE, fast=True, indexed=True):
         return self._add(name, FieldType.KEYWORD, Cardinality(cardinality), fast, indexed)
+
+    def add_text_field(self, name, fast=True, indexed=True):
+        """Tokenized text (simple tokenizer: lowercase, split on
+        non-alphanumeric — tantivy's default analyzer behavior). Token
+        ordinals are stored CSR like a multi-valued keyword."""
+        return self._add(name, FieldType.TEXT, Cardinality.MULTI, fast, indexed)
 
     def build(self) -> Schema:
         return Schema(tuple(self._fields))

@@ -16,10 +16,14 @@ from .query import ir as query_ir
 
 
 class Searcher:
-    def __init__(self, index, mesh=None):
+    def __init__(self, index, mesh=None, config=None):
+        from .engine_config import EngineConfig
         self.index = index
         self.schema = index.schema
         self._mesh = mesh
+        self.config = (config or EngineConfig()).validate()
+        #: QueryStats of the most recent agg_search (when collect_stats)
+        self.last_stats = None
         self._device_index = None
         self._device_epoch = None
         self._programs = {}
@@ -41,8 +45,9 @@ class Searcher:
         dindex = self._get_device_index()
         key = (query_ir.structural_key(query), agg_ir.structural_key(aggs))
         prog = self._programs.get(key)
+        self._program_was_cached = prog is not None
         if prog is None:
-            prog = get_program(dindex, query, aggs)
+            prog = get_program(dindex, query, aggs, config=self.config)
             self._programs[key] = prog
         return prog
 
@@ -50,7 +55,19 @@ class Searcher:
                    aggs: Dict[str, agg_ir.Agg]) -> Dict[str, dict]:
         """Run `aggs` over docs matching `query`; returns host-side fruits
         bit-identical to OracleSearcher.agg_search on the same index."""
-        return self._program_for(query, aggs).run(query, aggs)
+        if not self.config.collect_stats:
+            return self._program_for(query, aggs).run(query, aggs)
+        from .utils.stats import QueryStats, timer
+        t = timer()
+        prog = self._program_for(query, aggs)
+        st = QueryStats(program_cached=self._program_was_cached)
+        st.prepare_ms = t.lap()
+        raw = prog.submit(query, aggs)
+        out = prog.finalize(raw, aggs)
+        st.device_ms = t.lap()
+        st.total_ms = st.prepare_ms + st.device_ms
+        self.last_stats = st
+        return out
 
     def agg_search_batch(self, requests) -> list:
         """Multi-search ("msearch") execution of [(query, aggs), ...].

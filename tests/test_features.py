@@ -1,0 +1,155 @@
+"""Feature tests: TEXT fields + tokenizer, lexicographic string ranges,
+document retrieval, segment merging, EngineConfig, stats."""
+
+import numpy as np
+import pytest
+
+from tantivy_aggregations_tpu import (
+    BooleanQuery,
+    Index,
+    MatchAllQuery,
+    RangeQuery,
+    SchemaBuilder,
+    TermQuery,
+    avg_agg,
+    count_agg,
+    sum_agg,
+    terms_agg,
+    top_hits_agg,
+)
+from tantivy_aggregations_tpu.engine_config import EngineConfig
+from tantivy_aggregations_tpu.schema import Cardinality
+
+
+def text_index():
+    schema = (SchemaBuilder()
+              .add_u64_field("qty")
+              .add_text_field("body")
+              .add_keyword_field("cat")
+              .build())
+    idx = Index.create_in_ram(schema)
+    w = idx.writer()
+    w.add_document({"qty": 1, "body": "The quick brown Fox!", "cat": "a"})
+    w.add_document({"qty": 2, "body": "fox-trot, quick quick slow", "cat": "b"})
+    w.commit()
+    w.add_document({"qty": 3, "body": "Lazy dogs sleep.", "cat": "a"})
+    w.commit()
+    return idx
+
+
+def check(idx, query, aggs):
+    got = idx.searcher().agg_search(query, aggs)
+    want = idx.oracle_searcher().agg_search(query, aggs)
+    assert got == want, f"\ndevice: {got}\noracle: {want}"
+    return got
+
+
+def test_text_term_query():
+    idx = text_index()
+    r = check(idx, TermQuery("body", "quick"), {"n": count_agg(),
+                                                "s": sum_agg("qty")})
+    assert r["n"]["value"] == 2 and r["s"]["value"] == 3
+    r = check(idx, TermQuery("body", "fox"), {"n": count_agg()})
+    assert r["n"]["value"] == 2  # "Fox!" lowercased, "fox-trot" split
+    r = check(idx, TermQuery("body", "Fox"), {"n": count_agg()})
+    assert r["n"]["value"] == 0  # query terms are exact (pre-tokenized)
+
+
+def test_text_terms_agg():
+    idx = text_index()
+    r = check(idx, MatchAllQuery(), {"t": terms_agg("body", size=3)})
+    top = [(b["key"], b["doc_count"]) for b in r["t"]["buckets"]]
+    assert top[0] == ("quick", 3)  # occurrence counting
+
+
+def test_string_range_query():
+    idx = text_index()
+    r = check(idx, RangeQuery("cat", lower="a", upper="a",
+                              include_upper=True), {"n": count_agg()})
+    assert r["n"]["value"] == 2
+    r = check(idx, RangeQuery("body", lower="d", upper="g"),
+              {"n": count_agg()})
+    # tokens in [d, g): dogs, fox -> docs 0, 1, 2
+    assert r["n"]["value"] == 3
+    r = check(idx, RangeQuery("cat", lower="b"), {"n": count_agg()})
+    assert r["n"]["value"] == 1
+
+
+def test_doc_retrieval():
+    idx = text_index()
+    d = idx.doc(0, 0)
+    assert d["qty"] == 1 and d["cat"] == "a"
+    assert d["body"] == ["the", "quick", "brown", "fox"]
+    d = idx.doc(1, 0)
+    assert d["cat"] == "a" and d["qty"] == 3
+    with pytest.raises(IndexError):
+        idx.doc(0, 99)
+
+
+def test_top_hits_then_doc():
+    idx = text_index()
+    r = idx.searcher().agg_search(MatchAllQuery(),
+                                  {"th": top_hits_agg(1, "qty")})
+    hit = r["th"]["hits"][0]
+    assert idx.doc(hit["segment"], hit["doc"])["qty"] == 3
+
+
+def test_merge_segments():
+    from fixtures import basic_index
+    idx = basic_index(num_segments=3, with_deletes=True)
+    before = idx.oracle_searcher().agg_search(
+        MatchAllQuery(), {"n": count_agg(), "s": sum_agg("price"),
+                          "t": terms_agg("cat", size=10),
+                          "a": avg_agg("scores")})
+    assert len(idx.segments) > 1
+    idx.merge_segments()
+    assert len(idx.segments) == 1
+    assert idx.segments[0].alive is None or idx.segments[0].alive.all()
+    after_o = idx.oracle_searcher().agg_search(
+        MatchAllQuery(), {"n": count_agg(), "s": sum_agg("price"),
+                          "t": terms_agg("cat", size=10),
+                          "a": avg_agg("scores")})
+    after_d = idx.searcher().agg_search(
+        MatchAllQuery(), {"n": count_agg(), "s": sum_agg("price"),
+                          "t": terms_agg("cat", size=10),
+                          "a": avg_agg("scores")})
+    assert before == after_o == after_d
+
+
+def test_merge_persisted(tmp_path):
+    from fixtures import basic_schema, DOCS
+    idx = Index.create(str(tmp_path / "m"), basic_schema())
+    w = idx.writer()
+    for d in DOCS:
+        w.add_document(d)
+        w.commit()
+    idx.merge_segments()
+    idx2 = Index.open(str(tmp_path / "m"))
+    assert len(idx2.segments) == 1
+    r1 = idx.oracle_searcher().agg_search(MatchAllQuery(), {"n": count_agg()})
+    r2 = idx2.oracle_searcher().agg_search(MatchAllQuery(), {"n": count_agg()})
+    assert r1 == r2
+
+
+def test_engine_config_dense_nb():
+    # tiny dense budget forces the scatter path; results must not change
+    from fixtures import random_index
+    idx = random_index(21, n_docs=200, n_segments=2)
+    aggs = {"t": terms_agg("cat", size=5, sub_aggs={"s": sum_agg("qty")})}
+    a = idx.searcher(config=EngineConfig(dense_nb=1)).agg_search(
+        MatchAllQuery(), aggs)
+    b = idx.searcher().agg_search(MatchAllQuery(), aggs)
+    c = idx.oracle_searcher().agg_search(MatchAllQuery(), aggs)
+    assert a == b == c
+
+
+def test_stats_collection():
+    from fixtures import basic_index
+    idx = basic_index()
+    s = idx.searcher(config=EngineConfig(collect_stats=True))
+    s.agg_search(MatchAllQuery(), {"n": count_agg()})
+    st = s.last_stats
+    assert st is not None and st.total_ms > 0
+    assert st.program_cached is False
+    s.agg_search(MatchAllQuery(), {"n": count_agg()})
+    assert s.last_stats.program_cached is True
