@@ -191,11 +191,10 @@ class IndexWriter:
                 else:
                     values = [str(v) for v in col]
                     offsets = np.arange(max_doc + 1, dtype=np.uint32)
-                terms = sorted(set(values))
-                ord_of = {t: i for i, t in enumerate(terms)}
-                ords = np.fromiter((ord_of[t] for t in values),
-                                   dtype=np.uint32, count=len(values))
-                fields[name] = SegmentFieldData(ords, offsets, terms)
+                from ..native import encode_terms
+                terms, ords = encode_terms(values)
+                fields[name] = SegmentFieldData(
+                    np.asarray(ords, np.uint32), offsets, terms)
             else:
                 dtype = numeric_dtype(ftype)
                 if isinstance(col, tuple):
