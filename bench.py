@@ -150,7 +150,7 @@ def main():
     args = ap.parse_args()
 
     n_docs = args.docs or (100_000 if args.smoke else 10_000_000)
-    reps = args.reps or (5 if args.smoke else 10)
+    reps = args.reps or (48 if args.smoke else 48)
     cpp_reps = 3
 
     from tantivy_aggregations_tpu.models import flagship

@@ -16,8 +16,13 @@ class EngineConfig:
     dense_nb: int = 256
     #: collect per-query QueryStats on the searcher (last_stats)
     collect_stats: bool = False
+    #: msearch group cap: same-shape queries per vmapped dispatch; multiple
+    #: groups pipeline (device->host copies overlap later groups' compute)
+    max_batch: int = 16
 
     def validate(self) -> "EngineConfig":
         if self.dense_nb < 1:
             raise ValueError("dense_nb must be >= 1")
+        if self.max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
         return self

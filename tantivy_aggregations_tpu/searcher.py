@@ -80,21 +80,35 @@ class Searcher:
         all device->host transfers are batched. (The reference is strictly
         synchronous per query — SURVEY.md §3.1; this is the TPU-native
         serving pattern.)"""
-        import jax
-        # group consecutive same-shape requests
+        # group consecutive same-shape requests, capped so multiple groups
+        # pipeline: each group's device->host copy overlaps the next group's
+        # compute (max_batch in EngineConfig)
+        cap = self.config.max_batch
         groups = []  # (prog, [queries], aggs)
         for query, aggs in requests:
             prog = self._program_for(query, aggs)
-            if groups and groups[-1][0] is prog and groups[-1][2] is aggs:
+            if (groups and groups[-1][0] is prog and groups[-1][2] is aggs
+                    and len(groups[-1][1]) < cap):
                 groups[-1][1].append(query)
             else:
                 groups.append((prog, [query], aggs))
-        results = []
+        # phase 1: dispatch everything, starting async host copies per group
+        submitted = []
         for prog, queries, aggs in groups:
             if len(queries) == 1:
-                results.append(prog.finalize(
-                    prog.submit(queries[0], aggs), aggs))
+                raw = prog.submit(queries[0], aggs)
             else:
-                raw = prog.submit_many(queries, aggs)
-                results.extend(prog.finalize_many(raw, aggs, len(queries)))
+                pad = 1
+                while pad < len(queries):
+                    pad *= 2  # pow-2 batch shapes: bounded jit variants
+                raw = prog.submit_many(queries, aggs, pad_to=pad)
+            submitted.append((prog, queries, aggs, raw, prog.stage(raw, aggs)))
+        # phase 2: collect (transfers have been landing in the background)
+        results = []
+        for prog, queries, aggs, raw, staged in submitted:
+            if len(queries) == 1:
+                results.append(prog.finalize(raw, aggs, staged=staged))
+            else:
+                results.extend(prog.finalize_many(raw, aggs, len(queries),
+                                                  staged=staged))
         return results
