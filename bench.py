@@ -145,7 +145,7 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="100k docs")
     ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--reps", type=int, default=None)
-    ap.add_argument("--segments", type=int, default=1)
+    ap.add_argument("--segments", type=int, default=4)
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -153,9 +153,12 @@ def main():
     reps = args.reps or (48 if args.smoke else 48)
     cpp_reps = 3
 
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE, "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from tantivy_aggregations_tpu.models import flagship
     idx, path = ensure_index(n_docs, args.segments)
-    import jax
     log(f"[bench] engine devices: {jax.devices()}")
 
     # --- C++ single-core baseline -----------------------------------------
