@@ -45,6 +45,7 @@ from .query.ir import (  # noqa: E402
     TermQuery,
     RangeQuery,
     BooleanQuery,
+    ExistsQuery,
 )
 from .aggs.ir import (  # noqa: E402
     count_agg,
@@ -75,6 +76,7 @@ __all__ = [
     "TermQuery",
     "RangeQuery",
     "BooleanQuery",
+    "ExistsQuery",
     "count_agg",
     "sum_agg",
     "min_agg",

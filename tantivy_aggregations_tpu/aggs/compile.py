@@ -261,7 +261,7 @@ class Program:
         if isinstance(q, Q.BooleanQuery):
             for c in (*q.must, *q.should, *q.must_not):
                 self._collect_query_arrays(c)
-        elif isinstance(q, (Q.TermQuery, Q.RangeQuery)):
+        elif isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.ExistsQuery)):
             self._need_col_planes(self._col(q.field))
 
     def _chain_fields(self, chain):

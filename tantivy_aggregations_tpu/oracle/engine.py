@@ -38,6 +38,11 @@ class OracleSearcher:
             return np.ones(seg.max_doc, dtype=bool)
         if isinstance(q, Q.TermQuery):
             return self._term_mask(q.field, q.value, seg)
+        if isinstance(q, Q.ExistsQuery):
+            fd = seg.fields[q.field]
+            if fd.offsets is None:
+                return np.ones(seg.max_doc, dtype=bool)
+            return np.diff(fd.offsets.astype(np.int64)) > 0
         if isinstance(q, Q.RangeQuery):
             return self._range_mask(q, seg)
         if isinstance(q, Q.BooleanQuery):

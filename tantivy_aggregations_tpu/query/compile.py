@@ -69,7 +69,7 @@ def _term_w_params(col, ftype, value):
 
 
 def _extract(q, dindex, path, out) -> None:
-    if isinstance(q, Q.MatchAllQuery):
+    if isinstance(q, (Q.MatchAllQuery, Q.ExistsQuery)):
         return
     if isinstance(q, Q.TermQuery):
         entry = dindex.schema.field(q.field)
@@ -168,7 +168,7 @@ def _zero_bound(ftype: FieldType, value, is_lower: bool, inclusive: bool) -> int
 def query_fields(q: Q.Query, out=None) -> set:
     if out is None:
         out = set()
-    if isinstance(q, (Q.TermQuery, Q.RangeQuery)):
+    if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.ExistsQuery)):
         out.add(q.field)
     elif isinstance(q, Q.BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
@@ -181,6 +181,17 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
     With a permuted prefix, CSR query fields are unsupported (plan-guarded:
     permuted views only cache dense columns)."""
     if isinstance(q, Q.MatchAllQuery):
+        return jnp.ones(T, dtype=bool)
+    if isinstance(q, Q.ExistsQuery):
+        col = dindex.column(q.field)
+        if col.multi:
+            if prefix:
+                raise NotImplementedError(
+                    "CSR query field under a permuted view")
+            return R.values_hit_to_doc_mask(
+                arrays[f"{q.field}:valid"] > 0, arrays[f"{q.field}:doc"], T)
+        if col.ftype.is_stringy:
+            return arrays[prefix + f"{q.field}:w"] >= 0
         return jnp.ones(T, dtype=bool)
     if isinstance(q, (Q.TermQuery, Q.RangeQuery)):
         col = dindex.column(q.field)

@@ -54,6 +54,15 @@ class RangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class ExistsQuery(Query):
+    """Matches docs holding at least one value for `field`. Single-valued
+    numeric fields always hold a value (missing -> type default, SURVEY.md
+    §A.3), so exists on them is match-all."""
+
+    field: str
+
+
+@dataclass(frozen=True)
 class BooleanQuery(Query):
     """Lucene/tantivy boolean semantics: all musts, no must_nots, and — when
     there are no must clauses — at least one should."""
@@ -79,6 +88,8 @@ def structural_key(q: Query) -> tuple:
         return ("all",)
     if isinstance(q, TermQuery):
         return ("term", q.field)
+    if isinstance(q, ExistsQuery):
+        return ("exists", q.field)
     if isinstance(q, RangeQuery):
         return (
             "range",

@@ -153,3 +153,27 @@ def test_stats_collection():
     assert st.program_cached is False
     s.agg_search(MatchAllQuery(), {"n": count_agg()})
     assert s.last_stats.program_cached is True
+
+
+def test_exists_query():
+    from tantivy_aggregations_tpu import ExistsQuery
+    schema = (SchemaBuilder().add_u64_field("v")
+              .add_keyword_field("k")
+              .add_keyword_field("tags", cardinality=Cardinality.MULTI)
+              .build())
+    idx = Index.create_in_ram(schema)
+    w = idx.writer()
+    w.add_document({"v": 1, "k": "a", "tags": ["x"]})
+    w.add_document({"v": 2})
+    w.add_document({"k": "b", "tags": []})
+    w.commit()
+    r = check(idx, ExistsQuery("k"), {"n": count_agg()})
+    assert r["n"]["value"] == 2
+    r = check(idx, ExistsQuery("tags"), {"n": count_agg()})
+    assert r["n"]["value"] == 1
+    r = check(idx, ExistsQuery("v"), {"n": count_agg()})
+    assert r["n"]["value"] == 3  # single numeric always has a value (§A.3)
+    r = check(idx, BooleanQuery(must=[ExistsQuery("k")],
+                                must_not=[ExistsQuery("tags")]),
+              {"n": count_agg()})
+    assert r["n"]["value"] == 1
