@@ -31,11 +31,12 @@ SURVEY.md sections rather than file:line — see SURVEY.md provenance notice):
 - tantivy schema/segments/fastfields/...     -> schema.py, index/          [§2.2 T1..T10]
 """
 
-import jax as _jax
-
-# The engine's exactness story relies on 64-bit integer arrays (XLA emulates
-# them exactly on TPU). Must be set before any tracing happens.
-_jax.config.update("jax_enable_x64", True)
+# NOTE on 64-bit semantics: the engine's exact arithmetic uses int64 ONLY in
+# trace-time XLA ops (reductions, cumsums, top-k keys); every device-resident
+# column is int32/int8. Those segments are traced under scoped
+# `jax.enable_x64(True)` contexts inside the compiled programs, so the global
+# x64 flag stays OFF — which keeps Pallas/Mosaic kernel lowering usable (it
+# rejects 64-bit types) and avoids int64 creep elsewhere.
 
 from .schema import Schema, FieldType, Cardinality, SchemaBuilder  # noqa: E402
 from .index.index import Index  # noqa: E402

@@ -100,12 +100,16 @@ class Program:
         self._collect_query_arrays(query)
 
         def fn(params, arrays):
-            self._lT = arrays["alive"].shape[0]
-            mask = qc.eval_mask(query, dindex, params, ("q",), self._lT,
-                                arrays) & (arrays["alive"] > 0)
-            ctx = MaskCtx(mask, self._root_chain)
-            return {name: self._eval(agg, ctx, params, arrays, ("a", name))
-                    for name, agg in aggs.items()}
+            # int64 appears only in traced ops (never in stored columns);
+            # scope x64 here so Pallas kernels lower under global x64-off
+            with jax.enable_x64(True):
+                self._lT = arrays["alive"].shape[0]
+                mask = qc.eval_mask(query, dindex, params, ("q",), self._lT,
+                                    arrays) & (arrays["alive"] > 0)
+                ctx = MaskCtx(mask, self._root_chain)
+                return {name: self._eval(agg, ctx, params, arrays,
+                                         ("a", name))
+                        for name, agg in aggs.items()}
 
         if self._sharded:
             from jax.sharding import PartitionSpec as P
@@ -195,7 +199,8 @@ class Program:
                 bpad = (dev[0] if isinstance(dev, tuple) else dev).shape[0]
                 while len(rk) < bpad:  # batch padding (pow-2 jit shapes)
                     rk.append(rk[-1])
-                ranks = jnp.asarray(rk, I64)  # [Bpad, 2P]
+                with jax.enable_x64(True):
+                    ranks = jnp.asarray(rk, I64)  # [Bpad, 2P]
                 if p["pmode"] == "rank":
                     cum32, vm = dev
                     gathers[path] = jax.vmap(_rank_select)(cum32, vm, ranks)
@@ -1087,8 +1092,9 @@ class Program:
             node_host["_fracs"] = fracs
             if p["pmode"] == "rank":
                 cum32, vm = dev
-                gathers[path] = _rank_select(cum32, vm,
-                                             jnp.asarray(ranks, I64))
+                with jax.enable_x64(True):
+                    rarr = jnp.asarray(ranks, I64)
+                gathers[path] = _rank_select(cum32, vm, rarr)
             else:
                 gathers[path] = _take(dev, jnp.asarray(ranks, I32))
         return gathers
@@ -1283,17 +1289,18 @@ def _take(a, idx):
 def _rank_select(cum32, vmask_perm, ranks):
     """For each 0-based rank r: the layout row of the (r+1)-th matched row.
     cum32: inclusive int64 prefix of per-32-row-block match counts."""
-    targets = ranks + 1
+    with jax.enable_x64(True):
+        targets = ranks + 1
 
-    def one(t):
-        blk = jnp.searchsorted(cum32, t, side="left")
-        base = jnp.where(blk > 0, cum32[jnp.maximum(blk - 1, 0)], 0)
-        window = jax.lax.dynamic_slice(vmask_perm, (blk * 32,), (32,))
-        inner = jnp.cumsum(window.astype(I64))
-        off = jnp.sum((inner < (t - base)).astype(I32))
-        return blk * 32 + off
+        def one(t):
+            blk = jnp.searchsorted(cum32, t, side="left")
+            base = jnp.where(blk > 0, cum32[jnp.maximum(blk - 1, 0)], 0)
+            window = jax.lax.dynamic_slice(vmask_perm, (blk * 32,), (32,))
+            inner = jnp.cumsum(window.astype(I64))
+            off = jnp.sum((inner < (t - base)).astype(I32))
+            return blk * 32 + off
 
-    return jax.vmap(one)(targets)
+        return jax.vmap(one)(targets)
 
 
 def get_program(dindex, query, aggs, config=None) -> Program:
