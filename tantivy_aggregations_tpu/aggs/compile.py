@@ -92,6 +92,12 @@ class Program:
         self.config = config or EngineConfig()
         self.dense_nb = self.config.dense_nb
         self._sharded = dindex.mesh is not None
+        from ..ops import pallas_kernels as PK
+        self._pallas_ok = (
+            not self._sharded and self.config.use_pallas
+            and (jax.default_backend() == "tpu"
+                 or self.config.pallas_interpret)
+            and PK.supported(dindex.T))
         self.plan: Dict[tuple, dict] = {}
         self._arrays: Dict[str, object] = {"alive": dindex.alive}
         self._root_chain = ((query, ("q",)),)
@@ -710,6 +716,27 @@ class Program:
                 return out
             planes = self._planes_only(field, arrays)
             vmask = ctx.mask
+            if self._pallas_ok and col.narrow:
+                from ..ops import pallas_kernels as PK
+                interp = self.config.pallas_interpret
+                cnt, tot, mn, mx = PK.fused_metrics(vmask, planes["w"],
+                                                    interpret=interp)
+                out["cnt"] = cnt
+                if need_min:
+                    out["min"] = mn
+                if need_max:
+                    out["max"] = mx
+                if need_sum:
+                    if p["direct"]:
+                        out["sum"] = tot
+                    else:  # narrow f64: exact signed limb planes
+                        limbs = arrays[f"{field}:limbs"]
+                        with jax.enable_x64(True):
+                            out["sum"] = jnp.stack(
+                                [PK.fused_metrics(vmask, limbs[:, i],
+                                                  interpret=interp)[1]
+                                 for i in range(limbs.shape[1])])
+                return out
             out["cnt"] = self._madd(R.ts_count(vmask))
             if need_min:
                 out["min"] = self._mmin(

@@ -19,6 +19,10 @@ class EngineConfig:
     #: msearch group cap: same-shape queries per vmapped dispatch; multiple
     #: groups pipeline (device->host copies overlap later groups' compute)
     max_batch: int = 16
+    #: fused Pallas metric kernels on the TPU backend (unsharded programs)
+    use_pallas: bool = True
+    #: run Pallas kernels in interpreter mode (CPU testing of kernel paths)
+    pallas_interpret: bool = False
 
     def validate(self) -> "EngineConfig":
         if self.dense_nb < 1:

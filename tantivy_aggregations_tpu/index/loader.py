@@ -38,8 +38,10 @@ import numpy as np
 from ..schema import Cardinality, FieldType, Schema
 from ..utils import exact, mono as mono_mod
 
-#: doc/value axes are padded to a multiple of this
-PAD_BLOCK = 1024
+#: doc/value axes are padded to a multiple of this. 32768 = 256 rows of 128
+#: lanes: keeps every column tileable by the Pallas kernels (int8 min tile is
+#: (32, 128), so row counts must divide by 32) at <0.4% padding on 10M docs.
+PAD_BLOCK = 32768
 #: narrow-column span bound: span+1 must stay in int32
 NARROW_MAX_SPAN = 2**31 - 2
 #: OrderedLayout bucket boundaries are aligned to this many rows

@@ -177,3 +177,20 @@ def test_exists_query():
                                 must_not=[ExistsQuery("tags")]),
               {"n": count_agg()})
     assert r["n"]["value"] == 1
+
+
+def test_pallas_interpret_metrics_parity():
+    """Exercise the fused Pallas metric kernel (interpret mode on CPU)."""
+    from fixtures import random_index
+    idx = random_index(31, n_docs=300, n_segments=2, delete_frac=0.2)
+    aggs = {"st": __import__("tantivy_aggregations_tpu").stats_agg("qty"),
+            "sp": sum_agg("price"), "n": count_agg()}
+    cfg = EngineConfig(pallas_interpret=True)
+    for q in [MatchAllQuery(), RangeQuery("qty", lower=100, upper=800)]:
+        a = idx.searcher(config=cfg).agg_search(q, aggs)
+        b = idx.oracle_searcher().agg_search(q, aggs)
+        assert a == b
+    # confirm the kernel path was actually planned in
+    s = idx.searcher(config=cfg)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    assert prog._pallas_ok
