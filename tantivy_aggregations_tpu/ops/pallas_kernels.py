@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 I32 = jnp.int32
 I32_MAX = 2**31 - 1
 I32_MIN = -(2**31)
-_MAX_BLKR = 1024  # 1024x128 int32 block = 512KB VMEM per operand
+_MAX_BLKR = 2048  # 2048x128 int32 block = 1MB VMEM per operand (swept: ~1600 rows fastest)
 
 
 def _pick_blkr(rows: int):

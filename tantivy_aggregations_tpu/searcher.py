@@ -26,7 +26,8 @@ class Searcher:
         self.last_stats = None
         self._device_index = None
         self._device_epoch = None
-        self._programs = {}
+        self._programs = {}  # insertion-ordered; pruned LRU-style
+        self._max_programs = 256
 
     # -- device index ----------------------------------------------------------
 
@@ -48,6 +49,11 @@ class Searcher:
         self._program_was_cached = prog is not None
         if prog is None:
             prog = get_program(dindex, query, aggs, config=self.config)
+            self._programs[key] = prog
+            while len(self._programs) > self._max_programs:
+                self._programs.pop(next(iter(self._programs)))
+        else:
+            self._programs.pop(key)  # refresh LRU position
             self._programs[key] = prog
         return prog
 
