@@ -457,6 +457,11 @@ class Program:
         if (not self._sharded and not col.multi
                 and self._chain_is_dense(chain)):
             p["pmode"] = "rank"
+            # integer percents (incl. the ES defaults) resolve ranks inside
+            # the main program: no big intermediates leave the device and no
+            # second transfer round is needed
+            p["int_percents"] = all(float(q).is_integer()
+                                    for q in node.percents)
             layout = col.value_layout()
             p["layout"] = layout
             prefix = f"VL:{node.field}#"
@@ -842,8 +847,23 @@ class Program:
             Rn = p["layout"].n_rows
             vm = self._perm_mask(ctx.chain, params, arrays, p["prefix"], Rn)
             cum32 = jnp.cumsum(R.block32_counts(vm).astype(I64))
-            return {"m": cum32[-1], "cum32": cum32,
-                    "vmask_perm": vm.astype(jnp.int8)}
+            m = cum32[-1]
+            if not p["int_percents"]:
+                return {"m": m, "cum32": cum32,
+                        "vmask_perm": vm.astype(jnp.int8)}
+            # rank = (p * (m-1)) // 100 exactly in int64 (p integer <= 100x:
+            # p * (m-1) < 100 * 2^36 << 2^63); matches utils/exact.py
+            # percentile_rank for integer p
+            ms = jnp.maximum(m - 1, 0)
+            ranks = []
+            for q in node.percents:
+                num = jnp.int64(int(q)) * ms
+                lo = num // 100
+                hi = jnp.minimum(lo + 1, ms)
+                ranks.extend([lo, hi])
+            rows = _rank_select_rows(cum32, vm.astype(jnp.int8),
+                                     jnp.stack(ranks))
+            return {"m": m, "rows": rows}
         # sort path
         if col.multi:
             doc = arrays[f"{field}:doc"]
@@ -1078,6 +1098,8 @@ class Program:
                 return {n: strip(s, r[n], path + (n,)) for n, s in items}
             if isinstance(node, A.PercentilesAgg):
                 p = self.plan[path]
+                if p["pmode"] == "rank" and p.get("int_percents"):
+                    return {"m": r["m"], "rows": r["rows"]}
                 if p["pmode"] == "rank":
                     big[path] = (r["cum32"], r["vmask_perm"])
                 else:
@@ -1218,6 +1240,18 @@ class Program:
         m = int(raw["m"])
         if m == 0:
             return {"values": {str(q): None for q in node.percents}}
+        if p["pmode"] == "rank" and p.get("int_percents"):
+            rows = np.asarray(raw["rows"])
+            out = {}
+            for i, q in enumerate(node.percents):
+                _, _, frac = exact.percentile_rank(q, m)
+                v_lo = self._user_scalar(
+                    ftype, int(p["layout"].sorted_mono[int(rows[2 * i])]))
+                v_hi = self._user_scalar(
+                    ftype, int(p["layout"].sorted_mono[int(rows[2 * i + 1])]))
+                out[str(q)] = exact.interpolate(float(v_lo), float(v_hi),
+                                                frac)
+            return {"values": out}
         got = np.asarray(raw["pvals"])
         fracs = raw["_fracs"]
         out = {}
@@ -1312,22 +1346,27 @@ def _take(a, idx):
     return a[idx]
 
 
+def _rank_select_rows(cum32, vmask_perm, ranks):
+    """For each 0-based rank r: the layout row of the (r+1)-th matched row.
+    cum32: inclusive int64 prefix of per-32-row-block match counts.
+    Trace-time body (callable inside programs); expects x64 semantics."""
+    targets = ranks + 1
+
+    def one(t):
+        blk = jnp.searchsorted(cum32, t, side="left")
+        base = jnp.where(blk > 0, cum32[jnp.maximum(blk - 1, 0)], 0)
+        window = jax.lax.dynamic_slice(vmask_perm, (blk * 32,), (32,))
+        inner = jnp.cumsum(window.astype(I64))
+        off = jnp.sum((inner < (t - base)).astype(I32))
+        return (blk * 32 + off).astype(I32)
+
+    return jax.vmap(one)(targets)
+
+
 @jax.jit
 def _rank_select(cum32, vmask_perm, ranks):
-    """For each 0-based rank r: the layout row of the (r+1)-th matched row.
-    cum32: inclusive int64 prefix of per-32-row-block match counts."""
     with jax.enable_x64(True):
-        targets = ranks + 1
-
-        def one(t):
-            blk = jnp.searchsorted(cum32, t, side="left")
-            base = jnp.where(blk > 0, cum32[jnp.maximum(blk - 1, 0)], 0)
-            window = jax.lax.dynamic_slice(vmask_perm, (blk * 32,), (32,))
-            inner = jnp.cumsum(window.astype(I64))
-            off = jnp.sum((inner < (t - base)).astype(I32))
-            return blk * 32 + off
-
-        return jax.vmap(one)(targets)
+        return _rank_select_rows(cum32, vmask_perm, ranks)
 
 
 def get_program(dindex, query, aggs, config=None) -> Program:
