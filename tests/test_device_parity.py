@@ -201,3 +201,15 @@ def test_program_cache_reuse(idx):
         q = TermQuery("cat", v)
         assert dev.agg_search(q, aggs) == orc.agg_search(q, aggs)
     assert len(dev._programs) == 1
+
+
+def test_terms_on_multivalued_numeric(searchers):
+    check(searchers, MatchAllQuery(), {
+        "t": terms_agg("counts", size=5, sub_aggs={"s": sum_agg("qty")}),
+        "tm": terms_agg("scores", size=4)})
+
+
+def test_noninteger_percentiles(searchers):
+    check(searchers, MatchAllQuery(), {
+        "p": percentiles_agg("price", percents=(0.5, 33.3, 99.9)),
+        "pq": percentiles_agg("qty", percents=(12.5, 87.5))})

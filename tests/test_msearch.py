@@ -59,3 +59,26 @@ def test_msearch_range_params_vary():
     got = s.agg_search_batch(reqs)
     for (q, a), r in zip(reqs, got):
         assert r == o.agg_search(q, a)
+
+
+def test_msearch_on_sharded_mesh():
+    from tantivy_aggregations_tpu.parallel.shard import make_mesh
+    idx = basic_index(num_segments=2)
+    s = idx.searcher(mesh=make_mesh(8))
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("price")}
+    reqs = [(TermQuery("cat", c), aggs) for c in ["a", "b", "c", "a", "b"]]
+    got = s.agg_search_batch(reqs)
+    for (q, a), r in zip(reqs, got):
+        assert r == o.agg_search(q, a)
+
+
+def test_msearch_noninteger_percentiles():
+    idx = random_index(41, n_docs=300, n_segments=2)
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    aggs = {"p": percentiles_agg("price", percents=(0.5, 37.5, 99.9))}
+    reqs = [(RangeQuery("qty", lower=100 * i), aggs) for i in range(5)]
+    got = s.agg_search_batch(reqs)
+    for (q, a), r in zip(reqs, got):
+        assert r == o.agg_search(q, a)
