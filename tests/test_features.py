@@ -194,3 +194,30 @@ def test_pallas_interpret_metrics_parity():
     s = idx.searcher(config=cfg)
     prog = s._program_for(MatchAllQuery(), aggs)
     assert prog._pallas_ok
+
+
+def test_epoch_invalidation_on_mutation():
+    """Searcher must reload device columns after commits/deletes/merges."""
+    from fixtures import basic_schema
+    idx = Index.create_in_ram(basic_schema())
+    w = idx.writer()
+    w.add_document({"qty": 5, "cat": "x"})
+    w.commit()
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    q = MatchAllQuery()
+    aggs = {"n": count_agg(), "s": sum_agg("qty")}
+    assert s.agg_search(q, aggs) == o.agg_search(q, aggs)
+    w2 = idx.writer()
+    w2.add_document({"qty": 7, "cat": "y"})
+    w2.commit()
+    r = s.agg_search(q, aggs)
+    assert r == o.agg_search(q, aggs) and r["s"]["value"] == 12
+    w3 = idx.writer()
+    w3.delete_term("cat", "x")
+    w3.commit()
+    r = s.agg_search(q, aggs)
+    assert r == o.agg_search(q, aggs) and r["n"]["value"] == 1
+    idx.merge_segments()
+    r = s.agg_search(q, aggs)
+    assert r == o.agg_search(q, aggs) and r["s"]["value"] == 7
