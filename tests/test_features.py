@@ -221,3 +221,44 @@ def test_epoch_invalidation_on_mutation():
     idx.merge_segments()
     r = s.agg_search(q, aggs)
     assert r == o.agg_search(q, aggs) and r["s"]["value"] == 7
+
+
+def test_columnar_vs_perdoc_equivalence():
+    """The bulk columnar ingestion path must produce a byte-equivalent index
+    to per-doc ingestion (same fruits for a broad tree)."""
+    import numpy as np
+    from fixtures import basic_schema
+    rng = np.random.default_rng(5)
+    n = 200
+    qty = rng.integers(0, 50, n, dtype=np.uint64)
+    price = np.round(rng.standard_normal(n) * 9, 2)
+    cats = [f"c{int(i)}" for i in rng.integers(0, 6, n)]
+    nv = rng.integers(0, 3, n)
+    offs = np.zeros(n + 1, np.uint32)
+    np.cumsum(nv, out=offs[1:])
+    counts_vals = rng.integers(0, 9, int(offs[-1]), dtype=np.uint64)
+
+    idx_a = Index.create_in_ram(basic_schema())
+    wa = idx_a.writer()
+    wa.add_documents_columnar(
+        {"qty": qty, "price": price, "cat": cats,
+         "counts": (offs, counts_vals)}, n)
+    wa.commit()
+
+    idx_b = Index.create_in_ram(basic_schema())
+    wb = idx_b.writer()
+    for i in range(n):
+        wb.add_document({"qty": int(qty[i]), "price": float(price[i]),
+                         "cat": cats[i],
+                         "counts": [int(v) for v in
+                                    counts_vals[offs[i]:offs[i + 1]]]})
+    wb.commit()
+
+    aggs = {"n": count_agg(), "s": sum_agg("price"),
+            "t": terms_agg("cat", size=10, sub_aggs={"q": sum_agg("qty")}),
+            "a": avg_agg("counts")}
+    q = MatchAllQuery()
+    ra = idx_a.searcher().agg_search(q, aggs)
+    rb = idx_b.searcher().agg_search(q, aggs)
+    ro = idx_a.oracle_searcher().agg_search(q, aggs)
+    assert ra == rb == ro
