@@ -267,6 +267,9 @@ class Program:
         if col.multi:
             self._need(f"{col.name}:doc", col.doc_id)
             self._need(f"{col.name}:valid", col.valid)
+            if col.multi_planes is not None:
+                for kk, pk in enumerate(col.multi_planes):
+                    self._need(f"{col.name}:mp{kk}", pk)
 
     def _collect_query_arrays(self, q):
         if isinstance(q, Q.BooleanQuery):

@@ -46,6 +46,10 @@ PAD_BLOCK = 32768
 NARROW_MAX_SPAN = 2**31 - 2
 #: OrderedLayout bucket boundaries are aligned to this many rows
 ALIGN = 32
+#: multi-valued NARROW fields with at most this many values per doc also get
+#: doc-aligned dense planes (value k of each doc), so term/range doc masks
+#: are pure compares instead of the (measured-pathological) scatter-or
+DENSE_MULTI_K = 8
 
 I32 = np.int32
 
@@ -124,6 +128,9 @@ class DeviceColumn:
     _host_doc: Optional[np.ndarray] = None  # CSR doc ids (padded layout)
     _orig_docs: Optional[np.ndarray] = None  # CSR: global doc per value row
     _orig_values: Optional[np.ndarray] = None  # CSR: values, original order
+    #: dense doc-aligned planes for short multi-valued NARROW fields:
+    #: list of [T] int32 w-planes (-1 = no value at that position)
+    multi_planes: Optional[list] = None
     # -- numeric terms dictionary (lazy) --------------------------------------
     _term_ids: Optional[jnp.ndarray] = None
     _term_ids_host: Optional[np.ndarray] = None
@@ -543,4 +550,23 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
             col.w = _put(a, mesh)
         else:
             col.hi, col.lo = _put(a, mesh), _put(b, mesh)
+
+    # doc-aligned dense planes for short narrow/keyword multi fields
+    if col.narrow or keyword:
+        cnt = np.bincount(docs, minlength=T) if n else np.zeros(T, np.int64)
+        kmax = int(cnt.max()) if n else 0
+        if kmax <= DENSE_MULTI_K:
+            if keyword:
+                wvals = m.astype(np.int64)  # global ords
+            else:
+                wvals = _w_u64(m, min_mono).astype(np.int64)
+            offs_g = np.zeros(T + 1, np.int64)
+            np.cumsum(cnt, out=offs_g[1:])
+            planes = []
+            for k in range(max(kmax, 1)):
+                pk = np.full(T, -1, np.int64)
+                has = cnt > k
+                pk[has] = wvals[offs_g[:-1][has] + k]
+                planes.append(_put(pk.astype(I32), mesh))
+            col.multi_planes = planes
     return col

@@ -185,6 +185,8 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
     if isinstance(q, Q.ExistsQuery):
         col = dindex.column(q.field)
         if col.multi:
+            if col.multi_planes is not None and not prefix:
+                return arrays[f"{q.field}:mp0"] >= 0
             if prefix:
                 raise NotImplementedError(
                     "CSR query field under a permuted view")
@@ -197,6 +199,24 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
         col = dindex.column(q.field)
         k = _key(path)
         a = lambda s: arrays[prefix + f"{q.field}:{s}"]
+        if col.multi and col.multi_planes is not None and not prefix:
+            # short multi field: OR of per-position dense plane compares
+            # (doc-aligned; replaces the value-row scatter-or entirely)
+            m = jnp.zeros(T, dtype=bool)
+            for kk in range(len(col.multi_planes)):
+                pk = arrays[f"{q.field}:mp{kk}"]
+                if isinstance(q, Q.TermQuery):
+                    if col.ftype.is_stringy:
+                        m |= pk == params[k + ":t"]
+                    else:
+                        m |= (((pk == params[k + ":t0"])
+                               & (params[k + ":tv0"] > 0))
+                              | ((pk == params[k + ":t1"])
+                                 & (params[k + ":tv1"] > 0)))
+                else:
+                    m |= ((pk >= params[k + ":lo"])
+                          & (pk <= params[k + ":hi"]) & (pk >= 0))
+            return m
         if isinstance(q, Q.TermQuery) and col.ftype.is_stringy:
             hits = a("w") == params[k + ":t"]
         elif isinstance(q, Q.TermQuery):
