@@ -63,6 +63,13 @@ from .aggs.ir import (  # noqa: E402
     post_filter_agg,
     top_hits_agg,
 )
+from .aggs import ir as _agg_ir  # noqa: E402
+
+# typed aliases (reference ergonomics): sum_agg_f64, terms_agg_str, ...
+for _n in dir(_agg_ir):
+    if _n.endswith(("_u64", "_i64", "_f64", "_date", "_str")):
+        globals()[_n] = getattr(_agg_ir, _n)
+del _n
 
 __version__ = "0.1.0"
 

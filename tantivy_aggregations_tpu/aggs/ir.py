@@ -211,6 +211,24 @@ def top_hits_agg(size: int, sort_field: str, ascending: bool = False) -> TopHits
     return TopHitsAgg(int(size), sort_field, ascending)
 
 
+# -- typed constructor aliases (reference API ergonomics: the Rust crate
+# exposes per-dtype constructors like `sum_agg_f64("price")`; this engine
+# infers the dtype from the schema, so these are thin aliases kept so users
+# migrating from the reference find the names they expect) -------------------
+
+def _typed_aliases():
+    g = globals()
+    for base in ("sum", "min", "max", "avg", "percentiles"):
+        for suffix in ("u64", "i64", "f64", "date"):
+            g[f"{base}_agg_{suffix}"] = g[f"{base}_agg"]
+    g["terms_agg_str"] = terms_agg
+    g["terms_agg_u64"] = terms_agg
+    g["terms_agg_i64"] = terms_agg
+
+
+_typed_aliases()
+
+
 # -- prepare-time validation -------------------------------------------------
 # Reference parity: Agg::prepare resolves field names against the schema and
 # errors on missing / type-mismatched fields (SURVEY.md §3.1 L4).
