@@ -674,6 +674,35 @@ class Program:
 
         raise TypeError(f"unknown agg {type(node)!r}")
 
+    @staticmethod
+    def _merge_plane_outs(outs):
+        """Merge per-plane sub-agg output dicts: additive for counts/sums,
+        min/max for extrema (valid because each plane is a disjoint set of
+        value occurrences of the same docs)."""
+        def merge(vals, key):
+            if key == "min":
+                r = vals[0]
+                for v in vals[1:]:
+                    r = jnp.minimum(r, v)
+                return r
+            if key == "max":
+                r = vals[0]
+                for v in vals[1:]:
+                    r = jnp.maximum(r, v)
+                return r
+            r = vals[0]
+            for v in vals[1:]:
+                r = r + v
+            return r
+
+        out = {}
+        for key in outs[0]:
+            if isinstance(outs[0][key], dict):
+                out[key] = Program._merge_plane_outs([o[key] for o in outs])
+            else:
+                out[key] = merge([o[key] for o in outs], key)
+        return out
+
     # -- slot reductions (mode dispatch) -------------------------------------
 
     def _slot_counts(self, ctx: SlotCtx):
@@ -973,6 +1002,25 @@ class Program:
 
         ids = arrays[f"{field}:w"] if col.ftype.is_stringy \
             else arrays[f"{field}:tid"]
+        if (isinstance(ctx, MaskCtx) and col.multi and col.ftype.is_stringy
+                and col.multi_planes is not None and p["mode"] == "dense"):
+            # short multi keyword: per-position dense planes (doc-aligned) —
+            # no value-row gather; sub-agg fruits merge across positions
+            per_plane = []
+            for kk in range(len(col.multi_planes)):
+                pk = arrays[f"{field}:mp{kk}"]
+                valid_k = ctx.mask & (pk >= 0)
+                sub_ctx = SlotCtx(pk, valid_k, (card,), True, None, "dense")
+                one = {"counts": self._slot_counts(sub_ctx)}
+                for name, sub in node.sub_aggs:
+                    one[name] = self._eval(sub, sub_ctx, params, arrays,
+                                           path + (name,))
+                per_plane.append(one)
+            # NB: sub-agg evals are already cross-shard-merged internally;
+            # only the raw counts need the psum here
+            merged = self._merge_plane_outs(per_plane)
+            counts = self._madd(merged.pop("counts"))
+            return self._terms_topk(counts, merged, 1, card, keff)
         if isinstance(ctx, MaskCtx):
             if col.multi:
                 rdoc = arrays[f"{field}:doc"]
