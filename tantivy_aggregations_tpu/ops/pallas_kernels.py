@@ -21,8 +21,6 @@ vmap-compatible (the msearch batch path vmaps whole programs).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
