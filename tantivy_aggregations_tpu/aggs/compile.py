@@ -102,7 +102,8 @@ class Program:
         self._arrays: Dict[str, object] = {"alive": dindex.alive}
         self._root_chain = ((query, ("q",)),)
         self._plan_aggs(aggs, ("a",), in_slot=False, parent_single=True,
-                        hdims=(), tflat=1, chain=self._root_chain)
+                        hdims=(), tflat=1, chain=self._root_chain,
+                        bchain=())
         self._collect_query_arrays(query)
 
         def fn(params, arrays):
@@ -289,9 +290,11 @@ class Program:
 
     # -- permuted views ------------------------------------------------------
 
-    def _build_permuted_view(self, layout, prefix, chain, payload_fields):
+    def _build_permuted_view(self, layout, prefix, chain, payload_fields,
+                             bucket_fields=()):
         """Materialize (cached on the layout) permuted planes for mask
-        evaluation + metric payloads; register them as array inputs."""
+        evaluation + metric payloads (+ ancestor bucket-id recomputation);
+        register them as array inputs."""
         perm = layout.perm
 
         def cache(key, build):
@@ -301,6 +304,19 @@ class Program:
 
         cache("alive", lambda: self.dindex.alive_host[perm])
         self._need(prefix + "lvalid", layout.valid_perm)
+        for f in set(bucket_fields):
+            colf = self._col(f)
+            hp = self._host_planes(colf)
+            if colf.narrow or colf.ftype.is_stringy:
+                cache(f"{f}:w", lambda hp=hp: hp[0][perm])
+            else:
+                cache(f"{f}:hi", lambda hp=hp: hp[0][perm])
+                cache(f"{f}:lo", lambda hp=hp: hp[1][perm])
+            if colf.ftype.is_numeric:
+                colf.term_ids()
+                if colf._term_ids_host is not None:
+                    cache(f"{f}:tid",
+                          lambda colf=colf: colf._term_ids_host[perm])
         for f in self._chain_fields(chain):
             colf = self._col(f)
             if colf.multi:
@@ -372,13 +388,13 @@ class Program:
     # -- node planners -------------------------------------------------------
 
     def _plan_aggs(self, node, path, *, in_slot, parent_single, hdims, tflat,
-                   chain):
+                   chain, bchain=()):
         if isinstance(node, (dict, tuple)):
             items = node.items() if isinstance(node, dict) else node
             for name, sub in items:
                 self._plan_aggs(sub, path + (name,), in_slot=in_slot,
                                 parent_single=parent_single, hdims=hdims,
-                                tflat=tflat, chain=chain)
+                                tflat=tflat, chain=chain, bchain=bchain)
             return
         if isinstance(node, A.CountAgg):
             self.plan[path] = {"kind": "count", "hdims": hdims}
@@ -388,20 +404,18 @@ class Program:
             self._plan_metric(node, path, hdims)
             return
         if isinstance(node, A.PercentilesAgg):
-            if in_slot:
-                raise NotImplementedError(
-                    "percentiles under bucket aggs not supported on device")
-            self._plan_percentiles(node, path, hdims, chain)
+            self._plan_percentiles(node, path, hdims, chain,
+                                   in_slot=in_slot, bchain=bchain)
             return
         if isinstance(node, A.HistogramAgg):
             self._plan_histogram(node, path, in_slot=in_slot,
                                  parent_single=parent_single, hdims=hdims,
-                                 tflat=tflat, chain=chain)
+                                 tflat=tflat, chain=chain, bchain=bchain)
             return
         if isinstance(node, A.TermsAgg):
             self._plan_terms(node, path, in_slot=in_slot,
                              parent_single=parent_single, hdims=hdims,
-                             tflat=tflat, chain=chain)
+                             tflat=tflat, chain=chain, bchain=bchain)
             return
         if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
             self._collect_query_arrays(node.query)
@@ -409,7 +423,7 @@ class Program:
             sub_chain = chain + ((node.query, path + ("fq",)),)
             self._plan_aggs(node.sub_aggs, path, in_slot=in_slot,
                             parent_single=parent_single, hdims=hdims,
-                            tflat=tflat, chain=sub_chain)
+                            tflat=tflat, chain=sub_chain, bchain=bchain)
             return
         if isinstance(node, A.TopHitsAgg):
             if in_slot:
@@ -452,11 +466,45 @@ class Program:
                 self._need(f"{node.field}:limbs", col.sum_limbs())
         self.plan[path] = p
 
-    def _plan_percentiles(self, node, path, hdims, chain):
+    def _plan_percentiles(self, node, path, hdims, chain, in_slot=False,
+                          bchain=()):
         col = self._col(node.field)
         p = {"kind": "percentiles", "ftype": col.ftype, "narrow": col.narrow,
              "min_mono": col.min_mono, "percents": node.percents,
              "hdims": hdims}
+        if in_slot:
+            # per-bucket percentiles: recompute ancestor bucket slots in the
+            # value layout's permuted space (possible when every ancestor
+            # bucket is a dense-mode single-valued field) and rank-select per
+            # slot. Integer percents only; unsharded only.
+            ok = (not self._sharded and not col.multi
+                  and self._chain_is_dense(chain)
+                  and bchain is not None and len(bchain) > 0
+                  and all(float(q).is_integer() for q in node.percents))
+            nslots = 1
+            if ok:
+                for kind, f, meta in bchain:
+                    nslots *= meta["nb"] if kind == "hist" else meta
+            if not ok or nslots > DENSE_NB:
+                raise NotImplementedError(
+                    "percentiles under bucket aggs need dense single-valued "
+                    "ancestors (flat slot space <= dense budget), integer "
+                    "percents, and an unsharded index on device (the oracle "
+                    "supports all cases)")
+            p["pmode"] = "slot_rank"
+            p["int_percents"] = True
+            p["bchain"] = bchain
+            p["chain"] = chain
+            p["nslots"] = nslots
+            layout = col.value_layout()
+            p["layout"] = layout
+            prefix = f"VL:{node.field}#"
+            p["prefix"] = prefix
+            bucket_fields = [f for _, f, _ in bchain]
+            self._build_permuted_view(layout, prefix, chain, (),
+                                      bucket_fields=bucket_fields)
+            self.plan[path] = p
+            return
         if (not self._sharded and not col.multi
                 and self._chain_is_dense(chain)):
             p["pmode"] = "rank"
@@ -511,7 +559,7 @@ class Program:
         raise NotImplementedError("histogram span exceeds 2^63")
 
     def _plan_histogram(self, node, path, *, in_slot, parent_single, hdims,
-                        tflat, chain):
+                        tflat, chain, bchain=()):
         if in_slot and not parent_single:
             raise NotImplementedError(
                 "bucket agg nested under a multi-valued bucket field")
@@ -527,14 +575,19 @@ class Program:
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
         self.plan[path] = p
+        sub_bchain = (bchain + (("hist", node.field, dict(p)),)
+                      if (p["chain_ok"] and p["mode"] == "dense"
+                          and not col.multi) else None)
         for name, sub in node.sub_aggs:
             self._plan_aggs(sub, path + (name,), in_slot=True,
                             parent_single=p["chain_ok"],
                             hdims=hdims + (nb,), tflat=tflat * nb,
-                            chain=chain)
+                            chain=chain,
+                            bchain=sub_bchain if bchain is not None
+                            and sub_bchain is not None else None)
 
     def _plan_terms(self, node, path, *, in_slot, parent_single, hdims,
-                    tflat, chain):
+                    tflat, chain, bchain=()):
         if in_slot and not parent_single:
             raise NotImplementedError(
                 "bucket agg nested under a multi-valued bucket field")
@@ -587,11 +640,16 @@ class Program:
                 else:
                     self._plan_metric(sub, path + (name,), sub_hdims)
         else:
+            sub_bchain = (bchain + (("terms", node.field, card),)
+                          if (p["chain_ok"] and p["mode"] == "dense"
+                              and not col.multi) else None)
             for name, sub in node.sub_aggs:
                 self._plan_aggs(sub, path + (name,), in_slot=True,
                                 parent_single=p["chain_ok"],
                                 hdims=sub_hdims, tflat=tflat * card,
-                                chain=chain)
+                                chain=chain,
+                                bchain=sub_bchain if bchain is not None
+                                and sub_bchain is not None else None)
 
     def _extract_filter_params(self, node, path, out):
         if isinstance(node, (dict, tuple)):
@@ -612,9 +670,12 @@ class Program:
     # ======================================================================
 
     def _planes_only(self, field, arrays, rows_doc=None):
+        return self._planes_only_pfx(field, arrays, "", rows_doc)
+
+    def _planes_only_pfx(self, field, arrays, prefix, rows_doc=None):
         col = self._col(field)
-        g = lambda k: (arrays[f"{field}:{k}"] if rows_doc is None
-                       else arrays[f"{field}:{k}"][rows_doc])
+        g = lambda k: (arrays[prefix + f"{field}:{k}"] if rows_doc is None
+                       else arrays[prefix + f"{field}:{k}"][rows_doc])
         if col.narrow or col.ftype.is_stringy:
             return {"w": g("w")}
         return {"hi": g("hi"), "lo": g("lo")}
@@ -875,6 +936,9 @@ class Program:
     def _eval_percentiles(self, node, ctx, params, arrays, path, p):
         field = node.field
         col = self._col(field)
+        if p["pmode"] == "slot_rank":
+            return self._eval_percentiles_slots(node, ctx, params, arrays,
+                                                path, p)
         if p["pmode"] == "rank":
             Rn = p["layout"].n_rows
             vm = self._perm_mask(ctx.chain, params, arrays, p["prefix"], Rn)
@@ -910,19 +974,79 @@ class Program:
             srt = jnp.sort(jax.lax.all_gather(srt, "d", tiled=True))
         return {"sorted": srt, "m": self._madd(R.ts_count(vmask))}
 
+    def _eval_percentiles_slots(self, node, ctx, params, arrays, path, p):
+        """Per-bucket percentiles: ancestor bucket slots recomputed in the
+        value layout's permuted space; per-slot coarse prefix + rank rows."""
+        prefix = p["prefix"]
+        layout = p["layout"]
+        Rn = layout.n_rows
+        ns = p["nslots"]
+        vm = self._perm_mask(p["chain"], params, arrays, prefix, Rn)
+        slot = jnp.zeros(Rn, I32)
+        valid = jnp.ones(Rn, dtype=bool)
+        for kind, f, meta in p["bchain"]:
+            colf = self._col(f)
+            if kind == "hist":
+                bid = self._bucket_ids(meta, f, arrays, prefix)
+                slot = slot * meta["nb"] + bid
+            else:  # terms
+                ids = (arrays[prefix + f"{f}:w"] if colf.ftype.is_stringy
+                       else arrays[prefix + f"{f}:tid"])
+                valid = valid & (ids >= 0)
+                slot = slot * meta + jnp.maximum(ids, 0)
+        vm = vm & valid
+        # per-slot 32-block counts -> int64 prefixes [R/32, ns]
+        oh = (slot.reshape(-1, 32)[:, :, None]
+              == jnp.arange(ns, dtype=I32)[None, None, :])
+        mvm = vm.reshape(-1, 32)[:, :, None]
+        c32 = jnp.where(oh & mvm, 1, 0).sum(axis=1)  # [R/32, ns] int32
+        cum = jnp.cumsum(c32.astype(I64), axis=0)  # [R/32, ns]
+        m_s = cum[-1, :]  # [ns]
+        vm8 = vm.astype(jnp.int8)
+        slot32 = slot
+
+        percents = [int(q) for q in node.percents]
+
+        def rows_for_slot(s):
+            cs = cum[:, s]
+            ms = jnp.maximum(m_s[s] - 1, 0)
+            ranks = []
+            for q in percents:
+                num = jnp.int64(q) * ms
+                lo = num // 100
+                hi = jnp.minimum(lo + 1, ms)
+                ranks.extend([lo, hi])
+            targets = jnp.stack(ranks) + 1
+
+            def one(t):
+                blk = jnp.searchsorted(cs, t, side="left")
+                base = jnp.where(blk > 0, cs[jnp.maximum(blk - 1, 0)], 0)
+                wrow = jax.lax.dynamic_slice(vm8, (blk * 32,), (32,))
+                srow = jax.lax.dynamic_slice(slot32, (blk * 32,), (32,))
+                win = (wrow > 0) & (srow == s)
+                inner = jnp.cumsum(win.astype(I64))
+                off = jnp.sum((inner < (t - base)).astype(I32))
+                return (blk * 32 + off).astype(I32)
+
+            return jax.vmap(one)(targets)
+
+        rows = jax.vmap(rows_for_slot)(jnp.arange(ns, dtype=I32))
+        return {"m": m_s, "rows": rows}  # [ns], [ns, 2P]
+
     # -- histogram -----------------------------------------------------------
 
-    def _bucket_ids(self, p, field, arrays):
+    def _bucket_ids(self, p, field, arrays, prefix=""):
         col = self._col(field)
         if p["hmode"] == "empty":
-            base = arrays[f"{field}:w"] if (col.narrow or
-                                            col.ftype.is_stringy) \
-                else arrays[f"{field}:hi"]
+            base = arrays[prefix + f"{field}:w"] if (col.narrow or
+                                                     col.ftype.is_stringy) \
+                else arrays[prefix + f"{field}:hi"]
             return jnp.zeros(base.shape, I32)
         if p["hmode"] == "direct32":
-            w = arrays[f"{field}:w"]
+            w = arrays[prefix + f"{field}:w"]
             return (w - p["w_base"]) // p["iv"]
-        planes = self._planes_only(field, arrays)
+        planes = self._planes_only(prefix + field, arrays) if False \
+            else self._planes_only_pfx(field, arrays, prefix)
         if p["hmode"] == "direct64":
             if col.narrow:
                 rm = planes["w"].astype(I64)
@@ -1149,6 +1273,8 @@ class Program:
                 return {n: strip(s, r[n], path + (n,)) for n, s in items}
             if isinstance(node, A.PercentilesAgg):
                 p = self.plan[path]
+                if p["pmode"] == "slot_rank":
+                    return {"m": r["m"], "rows": r["rows"]}
                 if p["pmode"] == "rank" and p.get("int_percents"):
                     return {"m": r["m"], "rows": r["rows"]}
                 if p["pmode"] == "rank":
@@ -1221,7 +1347,7 @@ class Program:
                              A.StatsAgg)):
             return self._harvest_metric(node, raw, path, prefix)
         if isinstance(node, A.PercentilesAgg):
-            return self._harvest_percentiles(node, raw, path)
+            return self._harvest_percentiles(node, raw, path, prefix)
         if isinstance(node, A.HistogramAgg):
             return self._harvest_histogram(node, raw, path, prefix)
         if isinstance(node, A.TermsAgg):
@@ -1285,9 +1411,28 @@ class Program:
         return {"count": cnt, "sum": s, "min": mmval("min"),
                 "max": mmval("max"), "avg": avg}
 
-    def _harvest_percentiles(self, node, raw, path):
+    def _harvest_percentiles(self, node, raw, path, prefix=()):
         p = self.plan[path]
         ftype = p["ftype"]
+        if p.get("pmode") == "slot_rank":
+            hdims = p["hdims"]
+            flat = int(np.ravel_multi_index(prefix, hdims)) if prefix else 0
+            m = int(np.asarray(raw["m"]).reshape(-1)[flat])
+            if m == 0:
+                return {"values": {str(q): None for q in node.percents}}
+            rows = np.asarray(raw["rows"]).reshape(-1,
+                                                   2 * len(node.percents))[flat]
+            out = {}
+            for i, q in enumerate(node.percents):
+                _, _, frac = exact.percentile_rank(q, m)
+                v_lo = self._user_scalar(
+                    ftype, int(p["layout"].sorted_mono[int(rows[2 * i])]))
+                v_hi = self._user_scalar(
+                    ftype,
+                    int(p["layout"].sorted_mono[int(rows[2 * i + 1])]))
+                out[str(q)] = exact.interpolate(float(v_lo), float(v_hi),
+                                                frac)
+            return {"values": out}
         m = int(raw["m"])
         if m == 0:
             return {"values": {str(q): None for q in node.percents}}

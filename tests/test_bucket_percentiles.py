@@ -1,0 +1,88 @@
+"""Percentiles nested under bucket aggs (device slot_rank path): per-bucket
+rank selection over the value layout with ancestor slots recomputed in
+permuted space. Parity with the oracle on every supported shape, and a
+clean NotImplementedError on the documented unsupported ones."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "tests")
+
+from tantivy_aggregations_tpu import (
+    MatchAllQuery,
+    RangeQuery,
+    TermQuery,
+    filter_agg,
+    histogram_agg,
+    percentiles_agg,
+    terms_agg,
+)
+
+from test_cross_mode import build_random
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return build_random(77, n=300)
+
+
+def check(idx, query, aggs):
+    got = idx.searcher().agg_search(query, aggs)
+    want = idx.oracle_searcher().agg_search(query, aggs)
+    assert got == want, f"\ndevice: {got}\noracle: {want}"
+
+
+def test_pct_under_histogram(idx):
+    check(idx, MatchAllQuery(),
+          {"h": histogram_agg("u", interval=2**38,
+                              sub_aggs={"p": percentiles_agg(
+                                  "f", percents=(25, 50, 75))})})
+
+
+def test_pct_under_terms(idx):
+    check(idx, TermQuery("k", "key010"),
+          {"t": terms_agg("k", size=6,
+                          sub_aggs={"p": percentiles_agg(
+                              "i", percents=(1, 50, 99))})})
+
+
+def test_pct_under_terms_histogram(idx):
+    check(idx, RangeQuery("i", lower=-2**34),
+          {"t": terms_agg("k", size=4,
+                          sub_aggs={"h": histogram_agg(
+                              "u", interval=2**39,
+                              sub_aggs={"p": percentiles_agg(
+                                  "f", percents=(50,))})})})
+
+
+def test_pct_under_filter_histogram(idx):
+    check(idx, MatchAllQuery(),
+          {"fl": filter_agg(RangeQuery("u", lower=2**38),
+                            sub_aggs={"h": histogram_agg(
+                                "i", interval=2**34,
+                                sub_aggs={"p": percentiles_agg(
+                                    "f", percents=(10, 90))})})})
+
+
+def test_pct_under_multivalued_parent_raises(idx):
+    with pytest.raises(NotImplementedError):
+        idx.searcher().agg_search(
+            MatchAllQuery(),
+            {"t": terms_agg("tags", size=3,
+                            sub_aggs={"p": percentiles_agg("f")})})
+    # ...but the oracle supports it
+    r = idx.oracle_searcher().agg_search(
+        MatchAllQuery(),
+        {"t": terms_agg("tags", size=3,
+                        sub_aggs={"p": percentiles_agg("f")})})
+    assert r["t"]["buckets"]
+
+
+def test_pct_noninteger_under_bucket_raises(idx):
+    with pytest.raises(NotImplementedError):
+        idx.searcher().agg_search(
+            MatchAllQuery(),
+            {"h": histogram_agg("u", interval=2**38,
+                                sub_aggs={"p": percentiles_agg(
+                                    "f", percents=(99.9,))})})
