@@ -576,7 +576,8 @@ class Program:
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
         self.plan[path] = p
         sub_bchain = (bchain + (("hist", node.field, dict(p)),)
-                      if (p["chain_ok"] and p["mode"] == "dense"
+                      if (bchain is not None and p["chain_ok"]
+                          and p["mode"] == "dense"
                           and not col.multi) else None)
         for name, sub in node.sub_aggs:
             self._plan_aggs(sub, path + (name,), in_slot=True,
@@ -585,6 +586,12 @@ class Program:
                             chain=chain,
                             bchain=sub_bchain if bchain is not None
                             and sub_bchain is not None else None)
+
+    def _has_terms(self, node) -> bool:
+        if isinstance(node, A.TermsAgg):
+            return True
+        subs = getattr(node, "sub_aggs", ())
+        return any(self._has_terms(s) for _, s in subs)
 
     def _plan_terms(self, node, path, *, in_slot, parent_single, hdims,
                     tflat, chain, bchain=()):
@@ -611,6 +618,16 @@ class Program:
         p["keff"] = min(node.size, card)
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
+        # plane fan-out: short multi keyword parents evaluate per position
+        # and merge fruits BEFORE top-k; per-plane chaining makes nested
+        # histograms/metrics/filters legal (nested terms would select
+        # per-plane, which is wrong, so they stay unsupported)
+        p["plane_fanout"] = (
+            not in_slot and col.multi and col.ftype.is_stringy
+            and col.multi_planes is not None and tflat * card <= self.dense_nb
+            and not any(self._has_terms(s) for _, s in node.sub_aggs))
+        if p["plane_fanout"]:
+            p["chain_ok"] = True
 
         sub_kinds_ok = all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
                            for _, s in node.sub_aggs)
@@ -641,7 +658,8 @@ class Program:
                     self._plan_metric(sub, path + (name,), sub_hdims)
         else:
             sub_bchain = (bchain + (("terms", node.field, card),)
-                          if (p["chain_ok"] and p["mode"] == "dense"
+                          if (bchain is not None and p["chain_ok"]
+                              and p["mode"] == "dense"
                               and not col.multi) else None)
             for name, sub in node.sub_aggs:
                 self._plan_aggs(sub, path + (name,), in_slot=True,
@@ -1126,15 +1144,18 @@ class Program:
 
         ids = arrays[f"{field}:w"] if col.ftype.is_stringy \
             else arrays[f"{field}:tid"]
-        if (isinstance(ctx, MaskCtx) and col.multi and col.ftype.is_stringy
-                and col.multi_planes is not None and p["mode"] == "dense"):
+        if (isinstance(ctx, MaskCtx) and p.get("plane_fanout")
+                and p["mode"] == "dense"):
             # short multi keyword: per-position dense planes (doc-aligned) —
             # no value-row gather; sub-agg fruits merge across positions
+            # BEFORE top-k (so nested histograms stay exact)
             per_plane = []
             for kk in range(len(col.multi_planes)):
                 pk = arrays[f"{field}:mp{kk}"]
                 valid_k = ctx.mask & (pk >= 0)
-                sub_ctx = SlotCtx(pk, valid_k, (card,), True, None, "dense")
+                sub_ctx = SlotCtx(pk, valid_k, (card,), True, None, "dense",
+                                  slot_of_doc=jnp.where(valid_k, pk, -1),
+                                  slot_valid_of_doc=valid_k)
                 one = {"counts": self._slot_counts(sub_ctx)}
                 for name, sub in node.sub_aggs:
                     one[name] = self._eval(sub, sub_ctx, params, arrays,
