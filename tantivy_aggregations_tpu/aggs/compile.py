@@ -179,7 +179,8 @@ class Program:
         return stripped, big
 
     def finalize_many(self, raw, aggs, B: int, staged=None):
-        stripped, big = staged if staged is not None             else self.fetch_strip(aggs, raw)  # leaves carry [B, ...]
+        stripped, big = (staged if staged is not None
+                         else self.fetch_strip(aggs, raw))  # leaves: [B, ...]
         host_b = jax.device_get(stripped)
         hosts = [jax.tree_util.tree_map(lambda a: a[b], host_b)
                  for b in range(B)]
@@ -221,7 +222,8 @@ class Program:
         return [self.harvest_host(h, aggs) for h in hosts]
 
     def finalize(self, raw, aggs, staged=None):
-        stripped, big = staged if staged is not None             else self.fetch_strip(aggs, raw)
+        stripped, big = (staged if staged is not None
+                         else self.fetch_strip(aggs, raw))
         host = jax.device_get(stripped)
         gathers = self.percentile_gathers(host, big)
         if gathers:
@@ -1063,8 +1065,7 @@ class Program:
         if p["hmode"] == "direct32":
             w = arrays[prefix + f"{field}:w"]
             return (w - p["w_base"]) // p["iv"]
-        planes = self._planes_only(prefix + field, arrays) if False \
-            else self._planes_only_pfx(field, arrays, prefix)
+        planes = self._planes_only_pfx(field, arrays, prefix)
         if p["hmode"] == "direct64":
             if col.narrow:
                 rm = planes["w"].astype(I64)
