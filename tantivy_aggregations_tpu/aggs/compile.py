@@ -560,6 +560,24 @@ class Program:
                     "w_base": int(w_base), "iv": iv}
         raise NotImplementedError("histogram span exceeds 2^63")
 
+    @staticmethod
+    def _host_bucket_ids(col, p) -> np.ndarray:
+        """Exact host computation of 0-based bucket indices per value row
+        (padding/invalid rows land in bucket 0; masked off at query time)."""
+        from ..index.loader import _w_u64
+        m = col._host_mono
+        if p["hmode"] == "empty":
+            return np.zeros(m.shape[0], np.int64)
+        if p["hmode"] == "bounds":
+            # rbounds are rm-domain (w - 2^63); compare in the same domain
+            rm = (_w_u64(m, col.min_mono)
+                  - np.uint64(2**63)).view(np.int64)
+            return np.searchsorted(p["rbounds"], rm, side="right")
+        # direct32/direct64: j = (w - w_base) // iv with -w_base in [0, iv)
+        w = _w_u64(m, col.min_mono)
+        num = w + np.uint64(-p["w_base"])  # fits u64 (span_num checked)
+        return (num // np.uint64(p["iv"])).astype(np.int64)
+
     def _plan_histogram(self, node, path, *, in_slot, parent_single, hdims,
                         tflat, chain, bchain=()):
         if in_slot and not parent_single:
@@ -573,6 +591,11 @@ class Program:
         nb = p["nb"]
         if tflat * nb >= 2**31:
             raise ValueError("composite bucket slot space exceeds 2^31")
+        # precomputed per-row bucket ids (host-exact, device-cached)
+        bid_key = f"{node.field}:bid:{node.interval}:{node.offset}"
+        self._need(bid_key, col.bucket_id_plane(
+            bid_key, lambda: self._host_bucket_ids(col, p)))
+        p["bid_key"] = bid_key
         p["mode"] = ("dense" if tflat * nb <= self.dense_nb else "scatter")
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
@@ -1085,7 +1108,7 @@ class Program:
         nb = p["nb"]
         field = node.field
         col = self._col(field)
-        bid_own = self._bucket_ids(p, field, arrays)
+        bid_own = arrays[p["bid_key"]]
         if isinstance(ctx, MaskCtx):
             if col.multi:
                 rdoc = arrays[f"{field}:doc"]

@@ -181,6 +181,20 @@ class DeviceColumn:
     def min_user(self):
         return mono_mod.scalar_from_mono(self.ftype.value, self.min_mono)
 
+    # -- precomputed histogram bucket ids (host-exact, cached per layout) -----
+    _bid_cache: Optional[dict] = None
+
+    def bucket_id_plane(self, key: str, build_host):
+        """Cached device int32 plane of per-row bucket ids for a histogram
+        shape (interval/offset static per compiled tree): computed host-side
+        with exact integer/rational arithmetic once, then HBM-resident —
+        replaces an in-trace int64 division pass per query."""
+        if self._bid_cache is None:
+            self._bid_cache = {}
+        if key not in self._bid_cache:
+            self._bid_cache[key] = _put(build_host().astype(I32), self._mesh)
+        return self._bid_cache[key]
+
     # -- per-doc pre-aggregates for CSR metric aggs ---------------------------
     # Static and exact: computed once from the (query-independent) full value
     # set, so metric aggs over multi-valued fields reduce in DOC space —
