@@ -593,13 +593,40 @@ class Program:
             raise ValueError("composite bucket slot space exceeds 2^31")
         # precomputed per-row bucket ids (host-exact, device-cached)
         bid_key = f"{node.field}:bid:{node.interval}:{node.offset}"
-        self._need(bid_key, col.bucket_id_plane(
-            bid_key, lambda: self._host_bucket_ids(col, p)))
+        bid_host = self._host_bucket_ids(col, p)
+        self._need(bid_key, col.bucket_id_plane(bid_key, lambda: bid_host))
         p["bid_key"] = bid_key
-        p["mode"] = ("dense" if tflat * nb <= self.dense_nb else "scatter")
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
+        sub_kinds_ok = all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
+                           for _, s in node.sub_aggs)
+        if tflat * nb <= self.dense_nb:
+            p["mode"] = "dense"
+        elif (not in_slot and not self._sharded and not col.multi
+              and sub_kinds_ok and self._chain_is_dense(chain)):
+            # large histogram: static bucket ids -> the same prefix-layout
+            # machinery as high-cardinality terms (sorted rows + 32-aligned
+            # bounds + prefix differences; no scatter, no sort)
+            p["mode"] = "prefix"
+            layout = col.layout_for_ids(bid_key, bid_host, nb)
+            p["layout"] = layout
+            prefix = f"HL:{bid_key}#"
+            p["prefix"] = prefix
+            payload_fields = [s.field for _, s in node.sub_aggs
+                              if isinstance(s, (A.SumAgg, A.AvgAgg))]
+            self._build_permuted_view(layout, prefix, chain, payload_fields)
+            self._need(prefix + "bounds32", jnp.asarray(layout.bounds))
+        else:
+            p["mode"] = "scatter"
         self.plan[path] = p
+        if p["mode"] == "prefix":
+            for name, sub in node.sub_aggs:
+                if isinstance(sub, A.CountAgg):
+                    self.plan[path + (name,)] = {"kind": "count",
+                                                 "hdims": hdims + (nb,)}
+                else:
+                    self._plan_metric(sub, path + (name,), hdims + (nb,))
+            return
         sub_bchain = (bchain + (("hist", node.field, dict(p)),)
                       if (bchain is not None and p["chain_ok"]
                           and p["mode"] == "dense"
@@ -1104,10 +1131,49 @@ class Program:
             j = j + (rm >= b).astype(I32)
         return j
 
+    def _prefix_bucket_outputs(self, node, arrays, p, counts, vm):
+        """Shared prefix-mode sub-agg evaluation (terms + large histograms):
+        per-bucket exact sums/counts from permuted payload planes."""
+        prefix = p["prefix"]
+        bounds32 = arrays[prefix + "bounds32"]
+        sub_out = {}
+        for name, sub in node.sub_aggs:
+            if isinstance(sub, A.CountAgg):
+                sub_out[name] = {"cnt": counts}
+                continue
+            g = sub.field
+            colg = self._col(g)
+            L = self.plan[("payL", prefix, g)]["L"]
+            planes = [arrays[prefix + f"pay:{g}:s{i}"] for i in range(L)]
+            if colg.multi:
+                cnt_rows = arrays[prefix + f"pay:{g}:cnt"]
+                gcnt = R.prefix_diff(R.block32_sums(cnt_rows, vm), bounds32)
+            else:
+                gcnt = counts
+            sums = jnp.stack(
+                [R.prefix_diff(R.block32_sums(pl, vm), bounds32)
+                 for pl in planes], axis=-1)
+            if len(planes) == 1 and not colg.multi and colg.sum_direct:
+                sub_out[name] = {"cnt": gcnt, "sum": sums[:, 0]}
+            else:
+                sub_out[name] = {"cnt": gcnt, "sum": sums}
+        return sub_out
+
     def _eval_histogram(self, node, ctx, params, arrays, path, p):
         nb = p["nb"]
         field = node.field
         col = self._col(field)
+        if p["mode"] == "prefix":
+            prefix = p["prefix"]
+            layout = p["layout"]
+            vm = self._perm_mask(ctx.chain, params, arrays, prefix,
+                                 layout.n_rows)
+            bounds32 = arrays[prefix + "bounds32"]
+            counts = R.prefix_diff(R.block32_counts(vm), bounds32)
+            out = {"counts": counts}
+            out.update(self._prefix_bucket_outputs(node, arrays, p, counts,
+                                                   vm))
+            return out
         bid_own = arrays[p["bid_key"]]
         if isinstance(ctx, MaskCtx):
             if col.multi:
@@ -1258,31 +1324,11 @@ class Program:
     def _eval_terms_prefix(self, node, ctx, params, arrays, path, p):
         prefix = p["prefix"]
         layout = p["layout"]
-        Rn = layout.n_rows
-        vm = self._perm_mask(ctx.chain, params, arrays, prefix, Rn)
-        bounds32 = arrays[prefix + "bounds32"]
-        counts = R.prefix_diff(R.block32_counts(vm), bounds32)
-        sub_out = {}
-        for name, sub in node.sub_aggs:
-            if isinstance(sub, A.CountAgg):
-                sub_out[name] = {"cnt": counts}
-                continue
-            g = sub.field
-            colg = self._col(g)
-            L = self.plan[("payL", prefix, g)]["L"]
-            planes = [arrays[prefix + f"pay:{g}:s{i}"] for i in range(L)]
-            if colg.multi:
-                cnt_rows = arrays[prefix + f"pay:{g}:cnt"]
-                gcnt = R.prefix_diff(R.block32_sums(cnt_rows, vm), bounds32)
-            else:
-                gcnt = counts
-            sums = jnp.stack(
-                [R.prefix_diff(R.block32_sums(pl, vm), bounds32)
-                 for pl in planes], axis=-1)
-            if len(planes) == 1 and not colg.multi and colg.sum_direct:
-                sub_out[name] = {"cnt": gcnt, "sum": sums[:, 0]}
-            else:
-                sub_out[name] = {"cnt": gcnt, "sum": sums}
+        vm = self._perm_mask(ctx.chain, params, arrays, prefix,
+                             layout.n_rows)
+        counts = R.prefix_diff(R.block32_counts(vm),
+                               arrays[prefix + "bounds32"])
+        sub_out = self._prefix_bucket_outputs(node, arrays, p, counts, vm)
         return self._terms_topk(counts, sub_out, 1, p["card"], p["keff"])
 
     # -- top hits ------------------------------------------------------------

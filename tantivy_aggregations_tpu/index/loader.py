@@ -247,6 +247,22 @@ class DeviceColumn:
 
     # -- ordered layouts ------------------------------------------------------
 
+    def layout_for_ids(self, key: str, ids_host: np.ndarray,
+                       card: int) -> OrderedLayout:
+        """Cached OrderedLayout over arbitrary static per-row bucket ids
+        (e.g. precomputed histogram buckets): rows sorted by id with
+        32-aligned boundaries for prefix-difference reductions."""
+        if self._bid_cache is None:
+            self._bid_cache = {}
+        lkey = ("layout", key)
+        if lkey not in self._bid_cache:
+            ids = np.asarray(ids_host, np.int64)
+            if self._host_valid is not None:
+                ids = np.where(self._host_valid, ids, -1)
+            self._bid_cache[lkey] = _build_bucket_layout(
+                ids.astype(np.int32), card, self._mesh)
+        return self._bid_cache[lkey]
+
     def bucket_layout(self) -> OrderedLayout:
         """Rows sorted by bucket id with 32-aligned bucket boundaries, for
         prefix-difference terms aggs (unsharded path)."""
