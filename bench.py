@@ -150,7 +150,7 @@ def main():
     args = ap.parse_args()
 
     n_docs = args.docs or (100_000 if args.smoke else 10_000_000)
-    reps = args.reps or (48 if args.smoke else 48)
+    reps = args.reps or (96 if args.smoke else 96)
     cpp_reps = 3
 
     import jax
@@ -192,17 +192,19 @@ def main():
             times.append(time.time() - t0)
         tpu_results[i] = r
         tpu_p50[i] = statistics.median(times)
-        # msearch throughput (vmapped same-shape batch = one dispatch) —
-        # the serving pattern; per-query wall time is what qps is built from
+        # sustained msearch throughput: a stream of vmapped same-shape
+        # groups with lookahead, so device->host transfers overlap later
+        # groups' compute (the serving pattern); per-query wall time is what
+        # qps is built from
         reqs = [(query, aggs)] * reps
-        searcher.agg_search_batch(reqs)  # warm up the batched program
+        searcher.agg_search_batch(reqs[: searcher.config.max_batch * 2])
         t0 = time.time()
-        outs = searcher.agg_search_batch(reqs)
+        outs = list(searcher.agg_search_stream(iter(reqs), lookahead=3))
         batch_t = (time.time() - t0) / reps
         assert all(o == r for o in outs)
         tpu_qtime[i] = batch_t
         log(f"[bench] tpu c{i} ({name}): p50 {tpu_p50[i]*1000:.1f}ms, "
-            f"msearch {batch_t*1000:.2f}ms/q")
+            f"stream {batch_t*1000:.2f}ms/q")
 
     # --- identity gate -----------------------------------------------------
     if cpp_results:
@@ -227,7 +229,7 @@ def main():
     else:
         geo_speedup = 0.0
     print(json.dumps({
-        "metric": f"agg qps geomean (msearch batch), 5 judged configs, {n_docs} "
+        "metric": f"agg qps geomean (sustained msearch stream), 5 judged configs, {n_docs} "
                   f"docs, identical-results gate vs single-core C++ baseline",
         "value": round(geo_qps, 3),
         "unit": "qps",

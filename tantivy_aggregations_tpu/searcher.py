@@ -118,3 +118,61 @@ class Searcher:
                 results.extend(prog.finalize_many(raw, aggs, len(queries),
                                                   staged=staged))
         return results
+
+    def agg_search_stream(self, requests, lookahead: int = 2):
+        """Sustained-serving generator over an iterable of (query, aggs):
+        keeps `lookahead` msearch groups in flight so each group's
+        device->host transfer lands while later groups compute — the final
+        round trip amortizes over the whole stream instead of every
+        agg_search_batch call. Yields result dicts in request order."""
+        from collections import deque
+        cap = self.config.max_batch
+        it = iter(requests)
+        pending = deque()  # (prog, queries, aggs, raw, staged)
+        holdover = []  # request that ended the previous group (shape change)
+
+        def next_group():
+            group_q, group_aggs, prog = [], None, None
+            while True:
+                if holdover:
+                    query, aggs = holdover.pop()
+                else:
+                    try:
+                        query, aggs = next(it)
+                    except StopIteration:
+                        break
+                p = self._program_for(query, aggs)
+                if prog is None:
+                    prog, group_aggs = p, aggs
+                elif p is not prog or aggs is not group_aggs:
+                    holdover.append((query, aggs))  # starts the next group
+                    break
+                group_q.append(query)
+                if len(group_q) >= cap:
+                    break
+            if not group_q:
+                return False
+            pending.append(self._submit_group(prog, group_q, group_aggs))
+            return True
+
+        for _ in range(lookahead):
+            if not next_group():
+                break
+        while pending:
+            prog, queries, aggs, raw, staged = pending.popleft()
+            next_group()
+            if len(queries) == 1:
+                yield prog.finalize(raw, aggs, staged=staged)
+            else:
+                yield from prog.finalize_many(raw, aggs, len(queries),
+                                              staged=staged)
+
+    def _submit_group(self, prog, queries, aggs):
+        if len(queries) == 1:
+            raw = prog.submit(queries[0], aggs)
+        else:
+            pad = 1
+            while pad < len(queries):
+                pad *= 2
+            raw = prog.submit_many(queries, aggs, pad_to=pad)
+        return (prog, queries, aggs, raw, prog.stage(raw, aggs))

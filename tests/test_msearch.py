@@ -82,3 +82,31 @@ def test_msearch_noninteger_percentiles():
     got = s.agg_search_batch(reqs)
     for (q, a), r in zip(reqs, got):
         assert r == o.agg_search(q, a)
+
+
+def test_stream_api():
+    idx = random_index(51, n_docs=300, n_segments=2)
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("price")}
+    reqs = [(RangeQuery("qty", lower=10 * i), aggs) for i in range(40)]
+    got = list(s.agg_search_stream(iter(reqs), lookahead=3))
+    assert len(got) == 40
+    for (q, a), r in zip(reqs, got):
+        assert r == o.agg_search(q, a)
+
+
+def test_stream_mixed_shapes_order():
+    from fixtures import basic_index
+    idx = basic_index(num_segments=2)
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    a1 = {"n": count_agg()}
+    a2 = {"s": sum_agg("price")}
+    reqs = [(MatchAllQuery(), a1), (TermQuery("cat", "a"), a1),
+            (RangeQuery("qty", lower=3), a2), (MatchAllQuery(), a1),
+            (RangeQuery("qty", lower=7), a2), (TermQuery("cat", "b"), a1)]
+    got = list(s.agg_search_stream(iter(reqs)))
+    assert len(got) == len(reqs)
+    for (q, a), r in zip(reqs, got):
+        assert r == o.agg_search(q, a)
