@@ -128,6 +128,7 @@ class Program:
         self.raw_fn = fn
         self._fn = jax.jit(fn)
         self._fn_vmapped = None  # lazily compiled msearch variant
+        self._defer_topk = 0  # >0 while tracing inside a plane fan-out
 
     # ======================================================================
     # public
@@ -676,8 +677,8 @@ class Program:
         # per-plane, which is wrong, so they stay unsupported)
         p["plane_fanout"] = (
             not in_slot and col.multi and col.ftype.is_stringy
-            and col.multi_planes is not None and tflat * card <= self.dense_nb
-            and not any(self._has_terms(s) for _, s in node.sub_aggs))
+            and col.multi_planes is not None
+            and tflat * card <= self.dense_nb)
         if p["plane_fanout"]:
             p["chain_ok"] = True
 
@@ -1238,23 +1239,31 @@ class Program:
                 and p["mode"] == "dense"):
             # short multi keyword: per-position dense planes (doc-aligned) —
             # no value-row gather; sub-agg fruits merge across positions
-            # BEFORE top-k (so nested histograms stay exact)
+            # BEFORE any top-k (nested terms defer their selection until the
+            # merge, so per-position partial selections never happen)
             per_plane = []
-            for kk in range(len(col.multi_planes)):
-                pk = arrays[f"{field}:mp{kk}"]
-                valid_k = ctx.mask & (pk >= 0)
-                sub_ctx = SlotCtx(pk, valid_k, (card,), True, None, "dense",
-                                  slot_of_doc=jnp.where(valid_k, pk, -1),
-                                  slot_valid_of_doc=valid_k)
-                one = {"counts": self._slot_counts(sub_ctx)}
-                for name, sub in node.sub_aggs:
-                    one[name] = self._eval(sub, sub_ctx, params, arrays,
-                                           path + (name,))
-                per_plane.append(one)
+            self._defer_topk += 1
+            try:
+                for kk in range(len(col.multi_planes)):
+                    pk = arrays[f"{field}:mp{kk}"]
+                    valid_k = ctx.mask & (pk >= 0)
+                    sub_ctx = SlotCtx(pk, valid_k, (card,), True, None,
+                                      "dense",
+                                      slot_of_doc=jnp.where(valid_k, pk, -1),
+                                      slot_valid_of_doc=valid_k)
+                    one = {"counts": self._slot_counts(sub_ctx)}
+                    for name, sub in node.sub_aggs:
+                        one[name] = self._eval(sub, sub_ctx, params, arrays,
+                                               path + (name,))
+                    per_plane.append(one)
+            finally:
+                self._defer_topk -= 1
             # NB: sub-agg evals are already cross-shard-merged internally;
             # only the raw counts need the psum here
             merged = self._merge_plane_outs(per_plane)
             counts = self._madd(merged.pop("counts"))
+            merged = self._apply_deferred_topk(node.sub_aggs, merged,
+                                               path, card)
             return self._terms_topk(counts, merged, 1, card, keff)
         if isinstance(ctx, MaskCtx):
             if col.multi:
@@ -1298,7 +1307,33 @@ class Program:
             for name, sub in node.sub_aggs:
                 sub_out[name] = self._eval(sub, sub_ctx, params, arrays,
                                            path + (name,))
+        if self._defer_topk:
+            # inside a plane fan-out: selection happens after the merge
+            return {"counts": counts, **sub_out}
         return self._terms_topk(counts, sub_out, anc_flat, card, keff)
+
+    def _apply_deferred_topk(self, sub_aggs, out, path, anc_flat):
+        """Post-merge pass over a plane-fanout subtree: run top-k (+sub
+        gather) for every nested terms node, deepest first."""
+        for name, sub in sub_aggs:
+            if isinstance(sub, A.TermsAgg):
+                sp = self.plan[path + (name,)]
+                inner = out[name]
+                inner = self._apply_deferred_topk(
+                    sub.sub_aggs, inner, path + (name,),
+                    anc_flat * sp["card"])
+                counts = inner.pop("counts")
+                out[name] = self._terms_topk(counts, inner, anc_flat,
+                                             sp["card"], sp["keff"])
+            elif isinstance(sub, A.HistogramAgg):
+                hp = self.plan[path + (name,)]
+                out[name] = self._apply_deferred_topk(
+                    sub.sub_aggs, out[name], path + (name,),
+                    anc_flat * hp["nb"])
+            elif isinstance(sub, (A.FilterAgg, A.PostFilterAgg)):
+                out[name] = self._apply_deferred_topk(
+                    sub.sub_aggs, out[name], path + (name,), anc_flat)
+        return out
 
     @staticmethod
     def _terms_topk(counts, sub_out, anc_flat, card, keff):

@@ -53,9 +53,17 @@ def test_filter_histogram_under_multi_terms(idx):
                               "a": avg_agg("mf")})})
 
 
-def test_terms_under_multi_terms_still_raises(idx):
-    with pytest.raises(NotImplementedError):
-        idx.searcher().agg_search(
-            MatchAllQuery(),
-            {"t": terms_agg("tags", size=3,
-                            sub_aggs={"t2": terms_agg("k", size=3)})})
+def test_terms_under_multi_terms(idx):
+    check(idx, MatchAllQuery(),
+          {"t": terms_agg("tags", size=3,
+                          sub_aggs={"t2": terms_agg("k", size=4,
+                                                    sub_aggs={"s": sum_agg(
+                                                        "u")})})})
+
+
+def test_terms_under_multi_terms_histogram(idx):
+    check(idx, RangeQuery("i", lower=0),
+          {"t": terms_agg("tags", size=4,
+                          sub_aggs={"h": histogram_agg(
+                              "u", interval=2**39,
+                              sub_aggs={"t2": terms_agg("k", size=3)})})})
