@@ -110,3 +110,20 @@ def test_stream_mixed_shapes_order():
     assert len(got) == len(reqs)
     for (q, a), r in zip(reqs, got):
         assert r == o.agg_search(q, a)
+
+
+def test_stream_with_percentiles_and_mesh():
+    from tantivy_aggregations_tpu.parallel.shard import make_mesh
+    idx = random_index(61, n_docs=300, n_segments=2)
+    o = idx.oracle_searcher()
+    aggs = {"p": percentiles_agg("price"),                 # in-program ranks
+            "pn": percentiles_agg("price", percents=(99.9,)),  # 2-phase
+            "n": count_agg()}
+    reqs = [(RangeQuery("qty", lower=50 * i), aggs) for i in range(20)]
+    got = list(idx.searcher().agg_search_stream(iter(reqs)))
+    for (q, a), r in zip(reqs, got):
+        assert r == o.agg_search(q, a)
+    # sharded searcher uses the sort/allgather fallback paths
+    got = list(idx.searcher(mesh=make_mesh(8)).agg_search_stream(iter(reqs[:6])))
+    for (q, a), r in zip(reqs[:6], got):
+        assert r == o.agg_search(q, a)
