@@ -89,6 +89,8 @@ class Program:
         from ..engine_config import EngineConfig
         A.validate_agg_tree(dindex.schema, aggs)
         self.dindex = dindex
+        self.query = query
+        self.aggs = aggs
         self.config = config or EngineConfig()
         self.dense_nb = self.config.dense_nb
         self._sharded = dindex.mesh is not None
@@ -136,6 +138,18 @@ class Program:
 
     def run(self, query, aggs):
         return self.finalize(self.submit(query, aggs), aggs)
+
+    def example_inputs(self):
+        """(params, arrays) for this program's own (query, aggs) pair —
+        valid example arguments for raw_fn / the jitted _fn."""
+        params = qc.extract_params(self.query, self.dindex)
+        self._extract_filter_params(self.aggs, ("a",), params)
+        return params, self._arrays
+
+    def as_callable(self):
+        """(raw_fn, example_args): the full fused device step as a plain
+        jittable function plus example inputs (driver compile checks)."""
+        return self.raw_fn, self.example_inputs()
 
     def submit(self, query, aggs):
         params = qc.extract_params(query, self.dindex)
@@ -488,7 +502,7 @@ class Program:
             if ok:
                 for kind, f, meta in bchain:
                     nslots *= meta["nb"] if kind == "hist" else meta
-            if not ok or nslots > DENSE_NB:
+            if not ok or nslots > self.dense_nb:
                 raise NotImplementedError(
                     "percentiles under bucket aggs need dense single-valued "
                     "ancestors (flat slot space <= dense budget), integer "
@@ -889,7 +903,8 @@ class Program:
                 from ..ops import pallas_kernels as PK
                 interp = self.config.pallas_interpret
                 cnt, tot, mn, mx = PK.fused_metrics(vmask, planes["w"],
-                                                    interpret=interp)
+                                                    interpret=interp,
+                                                    max_abs=col.span)
                 out["cnt"] = cnt
                 if need_min:
                     out["min"] = mn
@@ -1372,17 +1387,23 @@ class Program:
         field = node.sort_field
         planes = self._planes_only(field, arrays)
         rm = self._recon_rm(field, planes)
-        key = jnp.where(ctx.mask, rm if node.ascending else ~rm, I64_MAX)
+        # matched-ness is an explicit leading sort key, NOT a value sentinel:
+        # on wide columns the descending key ~rm of the column-min doc equals
+        # I64_MAX exactly, so a sentinel would tie matched rows with
+        # unmatched ones and let the doc-id tie-break pick a non-match
+        inv = jnp.where(ctx.mask, 0, 1).astype(I32)
+        key = rm if node.ascending else ~rm
         doc = jnp.arange(self._lT, dtype=I64)
         if self._sharded:
             doc = doc + jax.lax.axis_index("d").astype(I64) * self._lT
-        sk, sd = jax.lax.sort((key, doc), num_keys=2)
+        si, sk, sd = jax.lax.sort((inv, key, doc), num_keys=3)
         k = min(p["k"], self._lT)
-        sk, sd = sk[:k], sd[:k]
+        si, sk, sd = si[:k], sk[:k], sd[:k]
         if self._sharded:
+            si = jax.lax.all_gather(si, "d", tiled=True)
             sk = jax.lax.all_gather(sk, "d", tiled=True)
             sd = jax.lax.all_gather(sd, "d", tiled=True)
-            sk, sd = jax.lax.sort((sk, sd), num_keys=2)
+            si, sk, sd = jax.lax.sort((si, sk, sd), num_keys=3)
             sk, sd = sk[:p["k"]], sd[:p["k"]]
         return {"keys": sk, "docs": sd, "m": self._madd(R.ts_count(ctx.mask))}
 

@@ -252,6 +252,15 @@ def validate_agg_tree(schema, node) -> None:
         return
     if isinstance(node, (SumAgg, MinAgg, MaxAgg, AvgAgg, StatsAgg, PercentilesAgg)):
         _numeric(node.field, type(node).__name__)
+        if isinstance(node, PercentilesAgg):
+            if not node.percents:
+                raise ValueError("percents must be non-empty")
+            for p in node.percents:
+                # ES-compatible validation; also required by the device rank
+                # paths, whose traced rank arithmetic assumes 0 <= p <= 100
+                if not (0.0 <= float(p) <= 100.0):  # False for NaN too
+                    raise ValueError(
+                        f"percentile {p!r} out of range [0, 100]")
         return
     if isinstance(node, HistogramAgg):
         _numeric(node.field, "HistogramAgg")

@@ -262,3 +262,130 @@ def test_columnar_vs_perdoc_equivalence():
     rb = idx_b.searcher().agg_search(q, aggs)
     ro = idx_a.oracle_searcher().agg_search(q, aggs)
     assert ra == rb == ro
+
+
+# -- round-2 regression tests -------------------------------------------------
+
+def test_bool_should_is_scoring_hint_under_must():
+    """SURVEY §A.10 spec choice: with scoring disabled, `should` does not
+    constrain the match set when a `must` clause is present (Lucene/ES
+    filter-context semantics); with no `must`, at least one `should` must
+    match."""
+    from fixtures import basic_index
+    idx = basic_index()
+    must_only = check(idx, BooleanQuery(must=[TermQuery("cat", "a")]),
+                      {"n": count_agg()})
+    with_should = check(
+        idx, BooleanQuery(must=[TermQuery("cat", "a")],
+                          should=[TermQuery("qty", 7)]),
+        {"n": count_agg()})
+    assert with_should["n"]["value"] == must_only["n"]["value"] == 2
+    should_only = check(
+        idx, BooleanQuery(should=[TermQuery("cat", "a"), TermQuery("qty", 7)]),
+        {"n": count_agg()})
+    assert should_only["n"]["value"] == 3  # OR semantics without must
+
+
+def test_pallas_fused_metrics_large_span_exact():
+    """ADVICE r1 (high): the 13-bit-split partial sums overflowed int32 for
+    narrow columns with span >= ~2^26. The block cap is now span-aware."""
+    import jax.numpy as jnp
+    from tantivy_aggregations_tpu.ops import pallas_kernels as PK
+    rng = np.random.default_rng(0)
+    n = 262144
+    vals = rng.integers(0, 2**30, n).astype(np.int32)
+    mask = rng.random(n) < 0.7
+    cnt, tot, mn, mx = PK.fused_metrics(
+        jnp.asarray(mask), jnp.asarray(vals), interpret=True,
+        max_abs=2**30 - 1)
+    sel = vals[mask]
+    assert int(cnt) == int(mask.sum())
+    assert int(tot) == int(np.sum(sel, dtype=np.int64))
+    assert int(mn) == int(sel.min())
+    assert int(mx) == int(sel.max())
+    # signed limb-plane-style values (floor-shift negative high splits)
+    svals = rng.integers(-(2**25), 2**25, n).astype(np.int32)
+    _, stot, smn, smx = PK.fused_metrics(
+        jnp.asarray(mask), jnp.asarray(svals), interpret=True)
+    ssel = svals[mask]
+    assert int(stot) == int(np.sum(ssel, dtype=np.int64))
+    assert int(smn) == int(ssel.min()) and int(smx) == int(ssel.max())
+
+
+def test_pallas_large_span_engine_parity():
+    """End-to-end: a u64 column with span > 2^26 through the planned Pallas
+    path (interpret mode) stays bit-identical to the oracle."""
+    from tantivy_aggregations_tpu import stats_agg
+    schema = SchemaBuilder().add_u64_field("big").build()
+    idx = Index.create_in_ram(schema)
+    w = idx.writer()
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**30, 4096, dtype=np.uint64)
+    vals[0] = 2**30 + 12345
+    w.add_documents_columnar({"big": vals}, 4096)
+    w.commit()
+    cfg = EngineConfig(pallas_interpret=True)
+    s = idx.searcher(config=cfg)
+    aggs = {"st": stats_agg("big")}
+    prog = s._program_for(MatchAllQuery(), aggs)
+    assert prog._pallas_ok  # the overflow-prone path is actually planned
+    got = s.agg_search(MatchAllQuery(), aggs)
+    want = idx.oracle_searcher().agg_search(MatchAllQuery(), aggs)
+    assert got == want
+
+
+def test_top_hits_sentinel_collision():
+    """ADVICE r1 (high): on wide columns the descending sort key of the
+    column-min doc equals the old unmatched sentinel I64_MAX; the engine
+    returned a non-matching doc. Matched-ness is now an explicit sort key."""
+    schema = SchemaBuilder().add_u64_field("v").build()
+    idx = Index.create_in_ram(schema)
+    w = idx.writer()
+    w.add_document({"v": 2**40})   # doc 0: wide span; excluded by the query
+    w.add_document({"v": 0})       # doc 1: the column minimum (key ~rm = I64_MAX)
+    w.add_document({"v": 3})       # doc 2
+    w.commit()
+    q = RangeQuery("v", upper=5, include_upper=True)
+    r = check(idx, q, {"h": top_hits_agg(2, "v", ascending=False)})
+    assert [h["doc"] for h in r["h"]["hits"]] == [2, 1]
+    # ascending variant with the max-value doc matched
+    r = check(idx, q, {"h": top_hits_agg(3, "v", ascending=True)})
+    assert [h["doc"] for h in r["h"]["hits"]] == [1, 2]
+
+
+def test_percentile_percents_validation():
+    """Out-of-range percents are rejected at prepare time (ES parity);
+    ADVICE r1: the device rank path assumed 0 <= p <= 100."""
+    from tantivy_aggregations_tpu import percentiles_agg
+    from fixtures import basic_index
+    idx = basic_index()
+    for bad in (-1.0, 100.5, float("nan")):
+        with pytest.raises(ValueError):
+            idx.searcher().agg_search(
+                MatchAllQuery(), {"p": percentiles_agg("qty", [50.0, bad])})
+        with pytest.raises(ValueError):
+            idx.oracle_searcher().agg_search(
+                MatchAllQuery(), {"p": percentiles_agg("qty", [bad])})
+    with pytest.raises(ValueError):
+        idx.searcher().agg_search(MatchAllQuery(),
+                                  {"p": percentiles_agg("qty", [])})
+    # boundary percents are legal and exact
+    r = check(idx, MatchAllQuery(),
+              {"p": percentiles_agg("qty", [0.0, 100.0])})
+    assert r["p"]["values"]["0.0"] == 0.0
+    assert r["p"]["values"]["100.0"] == 11.0
+
+
+def test_program_public_entry_surface():
+    """Program.as_callable() exposes (raw_fn, example_args) without private
+    attribute access (used by __graft_entry__.entry)."""
+    import jax
+    from fixtures import basic_index
+    idx = basic_index()
+    s = idx.searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("qty")}
+    prog = s._program_for(TermQuery("cat", "a"), aggs)
+    fn, args = prog.as_callable()
+    raw = jax.jit(fn)(*args)
+    assert prog.finalize(raw, aggs) == \
+        idx.oracle_searcher().agg_search(TermQuery("cat", "a"), aggs)
