@@ -150,7 +150,8 @@ def main():
     args = ap.parse_args()
 
     n_docs = args.docs or (100_000 if args.smoke else 10_000_000)
-    reps = args.reps or (96 if args.smoke else 96)
+    reps = args.reps or 96          # sequential-latency reps (p50)
+    stream_reps = 6 * 64            # sustained-stream length (6 msearch groups)
     cpp_reps = 3
 
     import jax
@@ -178,6 +179,7 @@ def main():
 
     # --- TPU engine --------------------------------------------------------
     searcher = idx.searcher()
+    oracle = idx.oracle_searcher()
     configs = flagship.judged_configs()
     tpu_p50, tpu_qtime, tpu_results = {}, {}, {}
     for i, (name, query, aggs) in enumerate(configs, start=1):
@@ -192,19 +194,35 @@ def main():
             times.append(time.time() - t0)
         tpu_results[i] = r
         tpu_p50[i] = statistics.median(times)
-        # sustained msearch throughput: a stream of vmapped same-shape
-        # groups with lookahead, so device->host transfers overlap later
-        # groups' compute (the serving pattern); per-query wall time is what
-        # qps is built from
-        reqs = [(query, aggs)] * reps
+        # sustained msearch throughput over VARIED query params: same query
+        # SHAPE, rotating parameter values (term values / range bounds), so
+        # the measured qps demonstrates the serving pattern — one compiled
+        # program, no recompiles, param-only dispatches. Correctness of the
+        # varied stream is anchored per distinct param: once against the
+        # engine's own single-query path, and (sampled) against the oracle.
+        reqs = flagship.varied_requests(i, aggs, stream_reps)
+        expect, distinct = {}, {}
+        for q, _ in reqs:
+            k = repr(q)
+            distinct.setdefault(k, q)
+            if k not in expect:
+                expect[k] = searcher.agg_search(q, aggs)
+        # the canonical query is already identity-gated vs the C++ baseline;
+        # anchor a sample of the VARIED params against the oracle
+        canon = repr(query)
+        for q in [q for k, q in distinct.items() if k != canon][:3]:
+            if expect[repr(q)] != oracle.agg_search(q, aggs):
+                log(f"[bench] ORACLE MISMATCH config {i} query {q!r}")
+                raise SystemExit(1)
         searcher.agg_search_batch(reqs[: searcher.config.max_batch * 2])
         t0 = time.time()
-        outs = list(searcher.agg_search_stream(iter(reqs), lookahead=3))
-        batch_t = (time.time() - t0) / reps
-        assert all(o == r for o in outs)
+        outs = list(searcher.agg_search_stream(iter(reqs), lookahead=6))
+        batch_t = (time.time() - t0) / len(reqs)
+        assert all(o == expect[repr(q)] for o, (q, _) in zip(outs, reqs))
         tpu_qtime[i] = batch_t
         log(f"[bench] tpu c{i} ({name}): p50 {tpu_p50[i]*1000:.1f}ms, "
-            f"stream {batch_t*1000:.2f}ms/q")
+            f"stream {batch_t*1000:.2f}ms/q over {len(expect)} distinct "
+            f"param sets")
 
     # --- identity gate -----------------------------------------------------
     if cpp_results:

@@ -116,9 +116,14 @@ class Program:
                 mask = qc.eval_mask(query, dindex, params, ("q",), self._lT,
                                     arrays) & (arrays["alive"] > 0)
                 ctx = MaskCtx(mask, self._root_chain)
-                return {name: self._eval(agg, ctx, params, arrays,
-                                         ("a", name))
-                        for name, agg in aggs.items()}
+                out = {name: self._eval(agg, ctx, params, arrays,
+                                        ("a", name))
+                       for name, agg in aggs.items()}
+                # pack every small fruit leaf into ONE int64 vector: the
+                # device->host link pays a fixed RPC cost PER ARRAY
+                # (~2.5ms measured on this axon tunnel), so the per-group
+                # transfer must be one array, not one per leaf
+                return self._pack_outputs(out, aggs)
 
         if self._sharded:
             from jax.sharding import PartitionSpec as P
@@ -180,25 +185,20 @@ class Program:
         return self._fn_vmapped(stacked, self._arrays)
 
     def stage(self, raw, aggs):
-        """Split raw outputs and start async device->host copies of the
-        small fruit leaves (hides the transfer round trip behind subsequent
-        dispatches — measured ~25ms per synchronous fetch on this link)."""
-        stripped, big = self.fetch_strip(aggs, raw)
-
-        def start(a):
-            if hasattr(a, "copy_to_host_async"):
-                a.copy_to_host_async()
-            return a
-
-        jax.tree_util.tree_map(start, stripped)
-        return stripped, big
+        """Start the async device->host copy of the ONE packed fruit vector
+        (hides the transfer round trip behind subsequent dispatches; the
+        axon link pays ~2.5ms fixed cost per array, so everything small is
+        packed into a single int64 vector inside the traced program)."""
+        packed, big = self.fetch_strip(aggs, raw)
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
+        return packed, big
 
     def finalize_many(self, raw, aggs, B: int, staged=None):
-        stripped, big = (staged if staged is not None
-                         else self.fetch_strip(aggs, raw))  # leaves: [B, ...]
-        host_b = jax.device_get(stripped)
-        hosts = [jax.tree_util.tree_map(lambda a: a[b], host_b)
-                 for b in range(B)]
+        packed, big = (staged if staged is not None
+                       else self.fetch_strip(aggs, raw))  # packed: [Bpad, F]
+        vecs = np.asarray(jax.device_get(packed))
+        hosts = [self._unpack_host(vecs[b]) for b in range(B)]
         if big:
             # batch the phase-2 rank/take gathers across all B queries
             ranks_per_path = {}
@@ -237,9 +237,9 @@ class Program:
         return [self.harvest_host(h, aggs) for h in hosts]
 
     def finalize(self, raw, aggs, staged=None):
-        stripped, big = (staged if staged is not None
-                         else self.fetch_strip(aggs, raw))
-        host = jax.device_get(stripped)
+        packed, big = (staged if staged is not None
+                       else self.fetch_strip(aggs, raw))
+        host = self._unpack_host(np.asarray(jax.device_get(packed)))
         gathers = self.percentile_gathers(host, big)
         if gathers:
             self.attach_percentiles(host, jax.device_get(gathers))
@@ -1411,34 +1411,75 @@ class Program:
     # fetch (batched device->host)
     # ======================================================================
 
-    def fetch_strip(self, aggs, raw):
-        big = {}
+    def _pack_outputs(self, out, aggs):
+        """Trace-time fruit packing: walk the agg tree in deterministic
+        order, keep every small integer leaf, concatenate into ONE int64
+        vector (all device fruits are integral by design — exact limb sums,
+        w-domain min/max, counts, ids). Big per-row intermediates
+        (non-integer-percent percentile state) stay separate device arrays
+        for the phase-2 gather machinery."""
+        spec = []
+        parts = []
+        bigs = {}
+
+        def keep(path, key, v):
+            spec.append((path, key, tuple(v.shape)))
+            parts.append(v.reshape(-1).astype(I64))
 
         def strip(node, r, path):
             if isinstance(node, (dict, tuple)):
                 items = node.items() if isinstance(node, dict) else node
-                return {n: strip(s, r[n], path + (n,)) for n, s in items}
+                for n, s in items:
+                    strip(s, r[n], path + (n,))
+                return
             if isinstance(node, A.PercentilesAgg):
                 p = self.plan[path]
-                if p["pmode"] == "slot_rank":
-                    return {"m": r["m"], "rows": r["rows"]}
-                if p["pmode"] == "rank" and p.get("int_percents"):
-                    return {"m": r["m"], "rows": r["rows"]}
-                if p["pmode"] == "rank":
-                    big[path] = (r["cum32"], r["vmask_perm"])
+                keep(path, "m", r["m"])
+                if "rows" in r:
+                    keep(path, "rows", r["rows"])
+                elif p["pmode"] == "rank":
+                    bigs["/".join(path)] = (r["cum32"], r["vmask_perm"])
                 else:
-                    big[path] = r["sorted"]
-                return {"m": r["m"]}
+                    bigs["/".join(path)] = r["sorted"]
+                return
             if isinstance(node, (A.HistogramAgg, A.TermsAgg,
                                  A.FilterAgg, A.PostFilterAgg)):
-                out = {k: v for k, v in r.items() if not isinstance(v, dict)}
+                for k, v in r.items():
+                    if not isinstance(v, dict):
+                        keep(path, k, v)
                 for n, s in node.sub_aggs:
-                    out[n] = strip(s, r[n], path + (n,))
-                return out
-            return r
+                    strip(s, r[n], path + (n,))
+                return
+            for k, v in r.items():  # metric / count / top_hits leaf dicts
+                keep(path, k, v)
 
-        return ({n: strip(s, raw[n], ("a", n)) for n, s in aggs.items()},
-                big)
+        strip(aggs, out, ("a",))
+        self._pack_spec = spec
+        self._big_path_of = {"/".join(p): p for p in
+                             (self.plan.keys())
+                             if isinstance(p, tuple) and p and p[0] == "a"}
+        return {"packed": jnp.concatenate(parts), "big": bigs}
+
+    def _unpack_host(self, vec: np.ndarray):
+        """One packed int64 host vector -> nested fruit dict of np views."""
+        host: Dict[str, dict] = {}
+        off = 0
+        for path, key, shape in self._pack_spec:
+            node = host
+            for k in path[1:]:
+                node = node.setdefault(k, {})
+            size = 1
+            for d in shape:
+                size *= d
+            node[key] = (vec[off:off + size].reshape(shape) if shape
+                         else vec[off])
+            off += size
+        return host
+
+    def fetch_strip(self, aggs, raw):
+        """(packed fruit vector, big device intermediates keyed by path)."""
+        return raw["packed"], {self._big_path_of[k]: v
+                               for k, v in raw["big"].items()}
 
     @staticmethod
     def _node_at(host, path):

@@ -17,8 +17,11 @@ class EngineConfig:
     #: collect per-query QueryStats on the searcher (last_stats)
     collect_stats: bool = False
     #: msearch group cap: same-shape queries per vmapped dispatch; multiple
-    #: groups pipeline (device->host copies overlap later groups' compute)
-    max_batch: int = 16
+    #: groups pipeline (device->host copies overlap later groups' compute).
+    #: 64 measured best on the v5e: the device link's fixed per-round-trip
+    #: cost (~8ms sync through the axon tunnel) amortizes over the group
+    #: while compute per group stays < 1ms
+    max_batch: int = 64
     #: fused Pallas metric kernels on the TPU backend (unsharded programs)
     use_pallas: bool = True
     #: run Pallas kernels in interpreter mode (CPU testing of kernel paths)

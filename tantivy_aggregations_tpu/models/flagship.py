@@ -109,6 +109,29 @@ def judged_configs():
     ]
 
 
+def varied_requests(cfg: int, aggs, n: int):
+    """A length-`n` serving stream for judged config `cfg`: the SAME query
+    shape with rotating parameter values wherever the config has parameters
+    (term values, range bounds), so benchmarks measure the no-recompile
+    param-dispatch path rather than one literal query repeated. Configs
+    whose query is MatchAll (c1/c3/c4) have no parameters to vary."""
+    _, query, _ = judged_configs()[cfg - 1]
+    if cfg == 2:
+        vals = ["active", "archived", "deleted", "pending"]
+        return [(TermQuery("status", vals[j % len(vals)]), aggs)
+                for j in range(n)]
+    if cfg == 5:
+        out = []
+        for j in range(n):
+            k = j % 32
+            q = BooleanQuery(must=[RangeQuery("amount", lower=100 + k,
+                                              upper=9000 - k,
+                                              include_upper=True)])
+            out.append((q, aggs))
+        return out
+    return [(query, aggs)] * n
+
+
 def build_bench_index(path, n_docs: int, seed: int = 42,
                       card: int = BENCH_CARD, n_segments: int = 1):
     """Create (or overwrite) the on-disk benchmark index."""
