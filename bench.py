@@ -104,7 +104,7 @@ def finalize_cpp(cfg: int, raw: dict) -> dict:
         return {"h": {"buckets": [
             {"key": k, "doc_count": c, "s": {"value": int(s)}}
             for k, c, s in raw["buckets"]]}}
-    if cfg == 4:
+    if cfg in (4, 6):  # c6 = same tree ordered by sum(amount) desc
         return {"t": {
             "buckets": [{"key": k, "doc_count": c, "s": {"value": int(s)},
                          "n": {"value": c2}}
@@ -167,7 +167,7 @@ def main():
     if not args.skip_baseline:
         exe = build_baseline()
         manifest = write_manifest(idx, path)
-        for cfg in range(1, 6):
+        for cfg in range(1, 7):
             t0 = time.time()
             out = subprocess.run([exe, manifest, str(cfg), str(cpp_reps)],
                                  capture_output=True, text=True, check=True)
@@ -180,9 +180,11 @@ def main():
     # --- TPU engine --------------------------------------------------------
     searcher = idx.searcher()
     oracle = idx.oracle_searcher()
-    configs = flagship.judged_configs()
+    configs = [(i, n, q, a) for i, (n, q, a)
+               in enumerate(flagship.judged_configs(), start=1)]
+    configs += flagship.extra_configs()  # identity-gated, outside geomean
     tpu_p50, tpu_qtime, tpu_results = {}, {}, {}
-    for i, (name, query, aggs) in enumerate(configs, start=1):
+    for i, name, query, aggs in configs:
         t0 = time.time()
         r = searcher.agg_search(query, aggs)  # compile + first run
         log(f"[bench] tpu c{i} first call {time.time()-t0:.1f}s")
@@ -226,15 +228,22 @@ def main():
 
     # --- identity gate -----------------------------------------------------
     if cpp_results:
-        for cfg in range(1, 6):
+        for cfg in sorted(cpp_results):
             if tpu_results[cfg] != cpp_results[cfg]:
                 log(f"[bench] MISMATCH config {cfg}!")
                 log(f"  tpu: {json.dumps(tpu_results[cfg])[:2000]}")
                 log(f"  cpp: {json.dumps(cpp_results[cfg])[:2000]}")
                 raise SystemExit(1)
-        log("[bench] identity gate: all 5 configs EQUAL (tpu == cpp)")
+        log(f"[bench] identity gate: all {len(cpp_results)} configs EQUAL "
+            "(tpu == cpp)")
 
-    # --- report ------------------------------------------------------------
+    # --- report (geomean over the 5 JUDGED configs; extras on stderr) ------
+    for i, name, _, _ in configs:
+        if i > 5 and cpp_secs:
+            log(f"[bench] extra c{i} ({name}): {1.0/tpu_qtime[i]:.1f} qps, "
+                f"{cpp_secs[i]/tpu_qtime[i]:.1f}x vs cpp")
+    tpu_qtime = {i: t for i, t in tpu_qtime.items() if i <= 5}
+    cpp_secs = {i: t for i, t in cpp_secs.items() if i <= 5}
     qps = {i: 1.0 / tpu_qtime[i] for i in tpu_qtime}
     geo_qps = math.exp(sum(math.log(v) for v in qps.values()) / len(qps))
     if cpp_secs:

@@ -683,6 +683,7 @@ class Program:
             raise ValueError("composite bucket slot space exceeds 2^31")
         p["card"] = card
         p["keff"] = min(node.size, card)
+        self._plan_terms_order(node, p)
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
         # plane fan-out: short multi keyword parents evaluate per position
@@ -714,7 +715,8 @@ class Program:
         else:
             p["mode"] = "scatter"
         self.plan[path] = p
-        sub_hdims = hdims + (p["keff"],)
+        # host-side selection ships ALL card buckets; sub fruits stay full
+        sub_hdims = hdims + ((card if p["sel"] == "host" else p["keff"]),)
         if p["mode"] == "prefix":
             # record metric plans for harvest reconstruction
             for name, sub in node.sub_aggs:
@@ -735,6 +737,41 @@ class Program:
                                 chain=chain,
                                 bchain=sub_bchain if bchain is not None
                                 and sub_bchain is not None else None)
+
+    def _plan_terms_order(self, node, p):
+        """Pick the selection mode for a terms agg's `order`:
+        - "topk": default (count desc, key asc) composite-key lax.top_k;
+        - "device": a 3-key batched lax.sort over an exact int64 order key
+          (possible for _count/_key/count-sub/min/max, and direct integer
+          sums with a static no-overflow proof) — order-isomorphic to the
+          harvested user values, so selection matches the oracle exactly;
+        - "host": ship ALL buckets' fruits; harvest reconstructs exact user
+          values and selects host-side (avg, f64 sums, limb-plane sums)."""
+        target, direction = node.order
+        p["order"] = node.order
+        if node.order == ("_count", "desc"):
+            p["sel"] = "topk"
+            return
+        if target in ("_count", "_key"):
+            p["sel"] = "device"
+            return
+        sub = dict(node.sub_aggs)[target]
+        if isinstance(sub, (A.CountAgg, A.MinAgg, A.MaxAgg)):
+            # count is exact i64; min/max device values (w / rm) are
+            # order-isomorphic to user values with identical tie structure
+            p["sel"] = "device"
+            return
+        if isinstance(sub, A.SumAgg):
+            scol = self._col(sub.field)
+            if (scol.ftype != FieldType.F64 and scol.sum_direct
+                    and not scol.multi):
+                mu = int(scol.min_user())
+                n = max(self.dindex.total_values, self.dindex.n_docs, 1)
+                if n * (abs(mu) + int(scol.span) + 1) < 2**61:
+                    p["sel"] = "device"  # okey = w_sum + cnt*min_user, exact
+                    p["order_mu"] = mu
+                    return
+        p["sel"] = "host"
 
     def _extract_filter_params(self, node, path, out):
         if isinstance(node, (dict, tuple)):
@@ -1279,7 +1316,7 @@ class Program:
             counts = self._madd(merged.pop("counts"))
             merged = self._apply_deferred_topk(node.sub_aggs, merged,
                                                path, card)
-            return self._terms_topk(counts, merged, 1, card, keff)
+            return self._terms_select_traced(p, counts, merged, 1)
         if isinstance(ctx, MaskCtx):
             if col.multi:
                 rdoc = arrays[f"{field}:doc"]
@@ -1325,7 +1362,7 @@ class Program:
         if self._defer_topk:
             # inside a plane fan-out: selection happens after the merge
             return {"counts": counts, **sub_out}
-        return self._terms_topk(counts, sub_out, anc_flat, card, keff)
+        return self._terms_select_traced(p, counts, sub_out, anc_flat)
 
     def _apply_deferred_topk(self, sub_aggs, out, path, anc_flat):
         """Post-merge pass over a plane-fanout subtree: run top-k (+sub
@@ -1338,8 +1375,8 @@ class Program:
                     sub.sub_aggs, inner, path + (name,),
                     anc_flat * sp["card"])
                 counts = inner.pop("counts")
-                out[name] = self._terms_topk(counts, inner, anc_flat,
-                                             sp["card"], sp["keff"])
+                out[name] = self._terms_select_traced(sp, counts, inner,
+                                                      anc_flat)
             elif isinstance(sub, A.HistogramAgg):
                 hp = self.plan[path + (name,)]
                 out[name] = self._apply_deferred_topk(
@@ -1350,12 +1387,25 @@ class Program:
                     sub.sub_aggs, out[name], path + (name,), anc_flat)
         return out
 
+    def _terms_select_traced(self, p, counts, sub_out, anc_flat):
+        """Dispatch the planned selection mode (see _plan_terms_order)."""
+        card, keff = p["card"], p["keff"]
+        if p["sel"] == "host":
+            return self._terms_all(counts, sub_out, anc_flat, card)
+        if p["sel"] == "topk":
+            return self._terms_topk(counts, sub_out, anc_flat, card, keff)
+        return self._terms_topk_ordered(p, counts, sub_out, anc_flat)
+
     @staticmethod
-    def _terms_topk(counts, sub_out, anc_flat, card, keff):
-        c2 = counts.reshape(anc_flat, card)
-        ids = jnp.arange(card, dtype=I64)
-        key = c2 * (1 << 27) + (card - 1 - ids)[None, :]
-        _, top_ids = jax.lax.top_k(key, keff)
+    def _terms_all(counts, sub_out, anc_flat, card):
+        """No device selection (host-side ordering): per-bucket fruits for
+        ALL card buckets plus per-ancestor totals."""
+        total = jnp.sum(counts.reshape(anc_flat, card), axis=1)
+        return {"counts": counts, "total": total.reshape(anc_flat),
+                **sub_out}
+
+    @staticmethod
+    def _gather_top(c2, top_ids, sub_out, anc_flat, card, keff):
         top_counts = jnp.take_along_axis(c2, top_ids, axis=1)
         total = jnp.sum(c2, axis=1)
 
@@ -1371,6 +1421,55 @@ class Program:
                 "total": total.reshape(anc_flat),
                 **sub_out}
 
+    @staticmethod
+    def _terms_topk(counts, sub_out, anc_flat, card, keff):
+        c2 = counts.reshape(anc_flat, card)
+        ids = jnp.arange(card, dtype=I64)
+        key = c2 * (1 << 27) + (card - 1 - ids)[None, :]
+        _, top_ids = jax.lax.top_k(key, keff)
+        return Program._gather_top(c2, top_ids, sub_out, anc_flat, card,
+                                   keff)
+
+    @staticmethod
+    def _terms_topk_ordered(p, counts, sub_out, anc_flat):
+        """Selection for non-default `order`: batched 3-key sort over
+        (validity class, exact int64 order key, bucket id). Validity class:
+        0 = present bucket with a non-null order metric, 1 = present bucket
+        whose order metric is null (sorts after all non-null, key asc —
+        oracle semantics), 2 = absent bucket (count 0; never emitted).
+        Bucket ids ascend in key order by construction of the global
+        term/value tables, so the id tie-break IS the key-asc tie-break."""
+        card, keff = p["card"], p["keff"]
+        target, direction = p["order"]
+        c2 = counts.reshape(anc_flat, card)
+        iota = jnp.broadcast_to(jnp.arange(card, dtype=I64)[None, :],
+                                (anc_flat, card))
+        none = jnp.zeros((anc_flat, card), dtype=bool)
+        if target == "_count":
+            okey = c2
+        elif target == "_key":
+            okey = iota
+        else:
+            sr = sub_out[target]
+            mcnt = sr["cnt"].reshape(anc_flat, card)
+            if "min" in sr or "max" in sr:
+                v = (sr["min"] if "min" in sr else sr["max"])
+                okey = v.reshape(anc_flat, card).astype(I64)
+                none = mcnt == 0
+            elif "sum" in sr:
+                okey = (sr["sum"].reshape(anc_flat, card)
+                        + mcnt * p["order_mu"])  # exact (plan-proved bound)
+            else:  # count sub-agg
+                okey = mcnt
+        okey = jnp.where(none, 0, okey)
+        if direction == "desc":
+            okey = jnp.where(none, 0, -okey)
+        flag = jnp.where(c2 > 0, jnp.where(none, 1, 0), 2).astype(I32)
+        _, _, sid = jax.lax.sort((flag, okey, iota), dimension=1, num_keys=3)
+        top_ids = sid[:, :keff]
+        return Program._gather_top(c2, top_ids, sub_out, anc_flat, card,
+                                   keff)
+
     def _eval_terms_prefix(self, node, ctx, params, arrays, path, p):
         prefix = p["prefix"]
         layout = p["layout"]
@@ -1379,7 +1478,7 @@ class Program:
         counts = R.prefix_diff(R.block32_counts(vm),
                                arrays[prefix + "bounds32"])
         sub_out = self._prefix_bucket_outputs(node, arrays, p, counts, vm)
-        return self._terms_topk(counts, sub_out, 1, p["card"], p["keff"])
+        return self._terms_select_traced(p, counts, sub_out, 1)
 
     # -- top hits ------------------------------------------------------------
 
@@ -1679,8 +1778,50 @@ class Program:
             buckets.append(b)
         return {"buckets": buckets}
 
+    def _term_key_user(self, p, tid: int):
+        if p["ftype"].is_stringy:
+            return str(p["keys"][tid])
+        return self._user_scalar(p["ftype"], int(p["keys_mono"][tid]))
+
+    def _harvest_terms_hostsel(self, node, raw, path, prefix):
+        """Host-side exact selection for `order` modes the device cannot
+        prove exact (avg, f64 sums, limb-plane sums): compares HARVESTED
+        user values — the identical comparator to the oracle — with key-asc
+        ties via the key-ascending bucket id order."""
+        p = self.plan[path]
+        card = p["card"]
+        hdims = p["hdims"]
+        base = int(np.ravel_multi_index(prefix, hdims)) if prefix else 0
+        cvec = np.asarray(raw["counts"]).reshape(-1, card)[base]
+        present = np.nonzero(cvec > 0)[0].tolist()
+        target, direction = p["order"]
+        desc = direction == "desc"
+        sub = dict(node.sub_aggs)[target]
+        vals = {j: self._harvest(sub, raw[target], path + (target,),
+                                 prefix + (j,))["value"]
+                for j in present}
+        ids = [j for j in present if vals[j] is not None]
+        nones = [j for j in present if vals[j] is None]
+        ids.sort(key=lambda j: vals[j], reverse=desc)
+        order_ids = ids + nones
+        top = order_ids[: node.size]
+        buckets = []
+        shown = 0
+        for j in top:
+            c = int(cvec[j])
+            shown += c
+            b = {"key": self._term_key_user(p, j), "doc_count": c}
+            for name, s in node.sub_aggs:
+                b[name] = self._harvest(s, raw[name], path + (name,),
+                                        prefix + (j,))
+            buckets.append(b)
+        return {"buckets": buckets,
+                "sum_other_doc_count": int(cvec.sum()) - shown}
+
     def _harvest_terms(self, node, raw, path, prefix):
         p = self.plan[path]
+        if p["sel"] == "host":
+            return self._harvest_terms_hostsel(node, raw, path, prefix)
         keff, ftype = p["keff"], p["ftype"]
         counts = np.asarray(raw["counts"])
         ids = np.asarray(raw["ids"])

@@ -105,17 +105,26 @@ class HistogramAgg(Agg):
 @dataclass(frozen=True)
 class TermsAgg(Agg):
     """Group-by on keyword or numeric values; top-`size` buckets ordered by
-    (doc_count desc, key asc). Bucket doc_count counts value occurrences
-    (the reference's per-ordinal collect loop — SURVEY.md §3.2). C10."""
+    `order` = (target, "asc"|"desc") where target is "_count" (default,
+    desc), "_key", or the name of a single-valued metric sub-agg
+    (count/sum/avg/min/max) — SURVEY.md §2.1 C10 "top-k selection by count
+    (or by sub-metric)". Ties always break by key ascending; buckets whose
+    order metric is null sort last. Bucket doc_count counts value
+    occurrences (the reference's per-ordinal collect loop — §3.2)."""
 
     field: str
     size: int = 10
     sub_aggs: Tuple[Tuple[str, Agg], ...] = ()
+    order: Tuple[str, str] = ("_count", "desc")
 
-    def __init__(self, field, size=10, sub_aggs=None):
+    def __init__(self, field, size=10, sub_aggs=None, order=None):
         object.__setattr__(self, "field", field)
         object.__setattr__(self, "size", int(size))
         object.__setattr__(self, "sub_aggs", _freeze_subs(sub_aggs))
+        if order is None:
+            order = ("_count", "desc")
+        object.__setattr__(self, "order",
+                           (str(order[0]), str(order[1]).lower()))
 
 
 @dataclass(frozen=True)
@@ -195,8 +204,9 @@ def date_histogram_agg(field: str, interval_micros: int, offset: int = 0,
     return HistogramAgg(field, int(interval_micros), int(offset), sub_aggs)
 
 
-def terms_agg(field: str, size: int = 10, sub_aggs=None) -> TermsAgg:
-    return TermsAgg(field, size, sub_aggs)
+def terms_agg(field: str, size: int = 10, sub_aggs=None,
+              order=None) -> TermsAgg:
+    return TermsAgg(field, size, sub_aggs, order)
 
 
 def filter_agg(query: Query, sub_aggs=None) -> FilterAgg:
@@ -275,6 +285,20 @@ def validate_agg_tree(schema, node) -> None:
             raise TypeError(f"TermsAgg requires a FAST field; {node.field!r} is not")
         if node.size <= 0:
             raise ValueError("terms size must be > 0")
+        target, direction = node.order
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"terms order direction {direction!r} "
+                             "must be 'asc' or 'desc'")
+        if target not in ("_count", "_key"):
+            subs = dict(node.sub_aggs)
+            if target not in subs:
+                raise ValueError(f"terms order target {target!r} is not a "
+                                 "sub-aggregation of this terms agg")
+            if not isinstance(subs[target],
+                              (CountAgg, SumAgg, AvgAgg, MinAgg, MaxAgg)):
+                raise TypeError(
+                    f"terms order target {target!r} must be a single-valued "
+                    "metric (count/sum/avg/min/max)")
         for _, sub in node.sub_aggs:
             validate_agg_tree(schema, sub)
         return
@@ -314,7 +338,7 @@ def structural_key(node) -> tuple:
         return ("histogram", node.field, node.interval, node.offset,
                 tuple((k, structural_key(v)) for k, v in node.sub_aggs))
     if isinstance(node, TermsAgg):
-        return ("terms", node.field, node.size,
+        return ("terms", node.field, node.size, node.order,
                 tuple((k, structural_key(v)) for k, v in node.sub_aggs))
     if isinstance(node, FilterAgg):
         return ("filter", query_structural_key(node.query),

@@ -109,13 +109,29 @@ def judged_configs():
     ]
 
 
+def extra_configs():
+    """Non-judged bench configs (identity-gated and reported, but outside
+    the 5-config BASELINE.json geomean contract). c6 exercises terms top-k
+    ORDERED BY SUB-METRIC (SURVEY.md §2.1 C10's 'or by sub-metric')."""
+    return [
+        (6, "c6_terms_order_by_sum",
+         MatchAllQuery(),
+         {"t": terms_agg("sku", size=10, order=("s", "desc"),
+                         sub_aggs={"s": sum_agg("amount"),
+                                   "n": count_agg()})}),
+    ]
+
+
 def varied_requests(cfg: int, aggs, n: int):
     """A length-`n` serving stream for judged config `cfg`: the SAME query
     shape with rotating parameter values wherever the config has parameters
     (term values, range bounds), so benchmarks measure the no-recompile
     param-dispatch path rather than one literal query repeated. Configs
     whose query is MatchAll (c1/c3/c4) have no parameters to vary."""
-    _, query, _ = judged_configs()[cfg - 1]
+    if cfg <= 5:
+        _, query, _ = judged_configs()[cfg - 1]
+    else:
+        query = next(q for i, _, q, _ in extra_configs() if i == cfg)
     if cfg == 2:
         vals = ["active", "archived", "deleted", "pending"]
         return [(TermQuery("status", vals[j % len(vals)]), aggs)

@@ -288,23 +288,48 @@ class OracleSearcher:
             for k, c in zip(uk.tolist(), cnt.tolist()):
                 kk = k if ftype.is_stringy else self._user_scalar(ftype, k)
                 counter[kk] = counter.get(kk, 0) + int(c)
-        # order: count desc, key asc; truncate to size (§A.6)
-        ordered = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
-        top = ordered[: agg.size]
-        sum_other = sum(c for _, c in ordered[agg.size:])
-        out_buckets = []
-        for key, doc_count in top:
+        return self._terms_finish(agg, counter, per_seg_rows, ftype)
+
+    def _terms_finish(self, agg: A.TermsAgg, counter, per_seg_rows, ftype):
+        """Shared terms selection + bucket building. Order semantics (§A.6):
+        target "_count" (default desc) / "_key" / a single-valued metric
+        sub-agg name, compared on the HARVESTED user value; ties always
+        break by key ascending; null order metrics sort last (key asc)."""
+        def refined_for(key):
             refined = []
             for seg, docs, keys in per_seg_rows:
-                if ftype.is_stringy:
-                    sel = keys == key
-                else:
-                    sel = keys == numeric_dtype(ftype)(key)
+                sel = keys == (key if ftype.is_stringy
+                               else numeric_dtype(ftype)(key))
                 sel_docs = docs[sel]
                 occ = np.zeros(seg.max_doc, dtype=np.int64)
                 np.add.at(occ, sel_docs, 1)
                 refined.append((seg, occ))
-            b = {"key": key, "doc_count": doc_count}
+            return refined
+
+        target, direction = agg.order
+        keys_sorted = sorted(counter.keys())
+        if target == "_key":
+            ordered = (keys_sorted if direction == "asc"
+                       else list(reversed(keys_sorted)))
+        elif target == "_count":
+            # stable sort preserves the key-ascending base order on ties
+            ordered = sorted(keys_sorted, key=lambda k: counter[k],
+                             reverse=(direction == "desc"))
+        else:
+            sub = dict(agg.sub_aggs)[target]
+            vals = {k: self._run_agg_weighted(sub, refined_for(k))["value"]
+                    for k in keys_sorted}
+            present = [k for k in keys_sorted if vals[k] is not None]
+            missing = [k for k in keys_sorted if vals[k] is None]
+            present.sort(key=lambda k: vals[k],
+                         reverse=(direction == "desc"))
+            ordered = present + missing
+        top = ordered[: agg.size]
+        sum_other = sum(counter[k] for k in ordered[agg.size:])
+        out_buckets = []
+        for key in top:
+            refined = refined_for(key)
+            b = {"key": key, "doc_count": counter[key]}
             for name, sub in agg.sub_aggs:
                 b[name] = self._run_agg_weighted(sub, refined)
             out_buckets.append(b)
@@ -500,21 +525,4 @@ class OracleSearcher:
             for k, c in zip(uk.tolist(), cnt.tolist()):
                 kk = k if ftype.is_stringy else self._user_scalar(ftype, k)
                 counter[kk] = counter.get(kk, 0) + int(c)
-        ordered = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
-        top = ordered[: agg.size]
-        sum_other = sum(c for _, c in ordered[agg.size:])
-        out_buckets = []
-        for key, doc_count in top:
-            refined = []
-            for seg, docs, keys in per_seg_rows:
-                sel = keys == (key if ftype.is_stringy
-                               else numeric_dtype(ftype)(key))
-                sel_docs = docs[sel]
-                occ = np.zeros(seg.max_doc, dtype=np.int64)
-                np.add.at(occ, sel_docs, 1)
-                refined.append((seg, occ))
-            b = {"key": key, "doc_count": doc_count}
-            for name, sub in agg.sub_aggs:
-                b[name] = self._run_agg_weighted(sub, refined)
-            out_buckets.append(b)
-        return {"buckets": out_buckets, "sum_other_doc_count": int(sum_other)}
+        return self._terms_finish(agg, counter, per_seg_rows, ftype)
