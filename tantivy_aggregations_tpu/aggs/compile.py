@@ -51,6 +51,7 @@ I32 = jnp.int32
 I64 = jnp.int64
 I64_MAX = 2**63 - 1
 MAX_TERMS_CARD = 1 << 27
+MAX_HIST_NB = 1 << 20  # f64 bucket-layout bound (host boundary list is O(nb))
 DENSE_NB = 256  # one-hot bucket budget (O(rows * nb) VPU work)
 
 
@@ -201,9 +202,22 @@ class Program:
         hosts = [self._unpack_host(vecs[b]) for b in range(B)]
         if big:
             # batch the phase-2 rank/take gathers across all B queries
-            ranks_per_path = {}
+            gathers = {}
             for path, dev in big.items():
                 p = self.plan[path]
+                bpad = (dev[0] if isinstance(dev, tuple) else dev).shape[0]
+                if p["pmode"] == "slot_rank":
+                    cum, vm8, slot32 = dev
+                    rks = [self._slot_ranks(p, self._node_at(hosts[b], path))
+                           for b in range(B)]
+                    while len(rks) < bpad:
+                        rks.append(rks[-1])
+                    with jax.enable_x64(True):
+                        rk = jnp.asarray(np.stack(rks), I64)
+                    gathers[path] = _slot_rank_select_batch(cum, vm8,
+                                                            slot32, rk)
+                    continue
+                rk = []
                 for b in range(B):
                     node_host = self._node_at(hosts[b], path)
                     m = int(node_host["m"])
@@ -214,12 +228,7 @@ class Program:
                         fracs.append(fr)
                         ranks.extend([lo, hi])
                     node_host["_fracs"] = fracs
-                    ranks_per_path.setdefault(path, []).append(ranks)
-            gathers = {}
-            for path, dev in big.items():
-                p = self.plan[path]
-                rk = ranks_per_path[path]
-                bpad = (dev[0] if isinstance(dev, tuple) else dev).shape[0]
+                    rk.append(ranks)
                 while len(rk) < bpad:  # batch padding (pow-2 jit shapes)
                     rk.append(rk[-1])
                 with jax.enable_x64(True):
@@ -443,15 +452,17 @@ class Program:
                             tflat=tflat, chain=sub_chain, bchain=bchain)
             return
         if isinstance(node, A.TopHitsAgg):
-            if in_slot:
-                raise NotImplementedError(
-                    "top_hits under bucket aggs not supported on device")
             col = self._col(node.sort_field)
             if col.multi:
                 raise TypeError("top_hits sort field must be single-valued")
+            if in_slot and (self._sharded or tflat > 4096):
+                raise NotImplementedError(
+                    "top_hits under bucket aggs: sharded meshes / huge "
+                    "bucket spaces answer through the exact host fallback")
             self._need_col_planes(col)
             self.plan[path] = {"kind": "top_hits", "hdims": hdims,
                                "k": min(node.size, self.dindex.T),
+                               "in_slot": in_slot,
                                "narrow": col.narrow,
                                "min_mono": col.min_mono,
                                "ftype": col.ftype}
@@ -493,11 +504,18 @@ class Program:
             # per-bucket percentiles: recompute ancestor bucket slots in the
             # value layout's permuted space (possible when every ancestor
             # bucket is a dense-mode single-valued field) and rank-select per
-            # slot. Integer percents only; unsharded only.
+            # slot. Non-integer percents resolve ranks in a second phase
+            # (host rank arithmetic + one device gather). Unsharded only;
+            # anything else answers through the exact host fallback.
+            int_p = all(float(q).is_integer() for q in node.percents)
             ok = (not self._sharded and not col.multi
                   and self._chain_is_dense(chain)
                   and bchain is not None and len(bchain) > 0
-                  and all(float(q).is_integer() for q in node.percents))
+                  # non-integer percents resolve ranks in phase 2 over FULL
+                  # slot-space intermediates, which cannot pass through a
+                  # terms ancestor's top-k gather — histogram ancestors only
+                  and (int_p or all(kind == "hist"
+                                    for kind, _, _ in bchain)))
             nslots = 1
             if ok:
                 for kind, f, meta in bchain:
@@ -505,11 +523,11 @@ class Program:
             if not ok or nslots > self.dense_nb:
                 raise NotImplementedError(
                     "percentiles under bucket aggs need dense single-valued "
-                    "ancestors (flat slot space <= dense budget), integer "
-                    "percents, and an unsharded index on device (the oracle "
-                    "supports all cases)")
+                    "ancestors (flat slot space <= dense budget) and an "
+                    "unsharded index on device (the host path handles the "
+                    "rest)")
             p["pmode"] = "slot_rank"
-            p["int_percents"] = True
+            p["int_percents"] = int_p
             p["bchain"] = bchain
             p["chain"] = chain
             p["nslots"] = nslots
@@ -549,10 +567,10 @@ class Program:
             k_min, bounds_mono = exact.f64_histogram_buckets(
                 lo, hi, float(node.interval), float(node.offset))
             nb = len(bounds_mono) + 1
-            if nb - 1 > max(DENSE_NB, self.dense_nb):
-                raise NotImplementedError(
-                    f"f64 histogram with {nb} buckets exceeds the "
-                    "compare-sum budget")
+            if nb > MAX_HIST_NB:
+                raise ValueError(
+                    f"f64 histogram would span {nb} buckets (> "
+                    f"{MAX_HIST_NB}); raise the interval")
             # rm domain: rm = (mono - min_mono) - 2^63
             rb = [_wrap64((int(b) - col.min_mono) - 2**63)
                   for b in bounds_mono]
@@ -595,10 +613,14 @@ class Program:
 
     def _plan_histogram(self, node, path, *, in_slot, parent_single, hdims,
                         tflat, chain, bchain=()):
-        if in_slot and not parent_single:
-            raise NotImplementedError(
-                "bucket agg nested under a multi-valued bucket field")
         col = self._col(node.field)
+        if in_slot and not parent_single and col.multi:
+            # multi-valued child under a multi-valued parent needs the
+            # cross-product of two CSR row spaces; the exact host path
+            # (Searcher._HostFallback) executes it
+            raise NotImplementedError(
+                "multi-valued bucket agg nested under a multi-valued "
+                "bucket field")
         self._need_col_planes(col)
         p = {"kind": "histogram", "ftype": col.ftype, "multi": col.multi,
              "hdims": hdims}
@@ -647,8 +669,11 @@ class Program:
                           and p["mode"] == "dense"
                           and not col.multi) else None)
         for name, sub in node.sub_aggs:
+            # parent_single = "the slot context stays doc-rooted": AND of
+            # every ancestor's chain_ok (one multi ancestor forces all
+            # descendants into row-space chaining)
             self._plan_aggs(sub, path + (name,), in_slot=True,
-                            parent_single=p["chain_ok"],
+                            parent_single=parent_single and p["chain_ok"],
                             hdims=hdims + (nb,), tflat=tflat * nb,
                             chain=chain,
                             bchain=sub_bchain if bchain is not None
@@ -660,12 +685,24 @@ class Program:
         subs = getattr(node, "sub_aggs", ())
         return any(self._has_terms(s) for _, s in subs)
 
+    def _has_selection_sub(self, node) -> bool:
+        """True if any descendant's fruit is a non-additive selection
+        (top_hits, percentiles): per-plane fruits of those cannot be merged
+        after the fact, so plane fan-out must not be used above them."""
+        for _, s in getattr(node, "sub_aggs", ()):
+            if isinstance(s, (A.TopHitsAgg, A.PercentilesAgg)):
+                return True
+            if self._has_selection_sub(s):
+                return True
+        return False
+
     def _plan_terms(self, node, path, *, in_slot, parent_single, hdims,
                     tflat, chain, bchain=()):
-        if in_slot and not parent_single:
-            raise NotImplementedError(
-                "bucket agg nested under a multi-valued bucket field")
         col = self._col(node.field)
+        if in_slot and not parent_single and col.multi:
+            raise NotImplementedError(
+                "multi-valued bucket agg nested under a multi-valued "
+                "bucket field")
         p = {"kind": "terms", "ftype": col.ftype, "multi": col.multi,
              "hdims": hdims}
         self._need_col_planes(col)
@@ -693,7 +730,8 @@ class Program:
         p["plane_fanout"] = (
             not in_slot and col.multi and col.ftype.is_stringy
             and col.multi_planes is not None
-            and tflat * card <= self.dense_nb)
+            and tflat * card <= self.dense_nb
+            and not self._has_selection_sub(node))
         if p["plane_fanout"]:
             p["chain_ok"] = True
 
@@ -732,7 +770,7 @@ class Program:
                               and not col.multi) else None)
             for name, sub in node.sub_aggs:
                 self._plan_aggs(sub, path + (name,), in_slot=True,
-                                parent_single=p["chain_ok"],
+                                parent_single=parent_single and p["chain_ok"],
                                 hdims=sub_hdims, tflat=tflat * card,
                                 chain=chain,
                                 bchain=sub_bchain if bchain is not None
@@ -1127,33 +1165,20 @@ class Program:
         m_s = cum[-1, :]  # [ns]
         vm8 = vm.astype(jnp.int8)
         slot32 = slot
+        if not p["int_percents"]:
+            # phase 2 resolves ranks host-side (exact rationals), then one
+            # device gather over these big intermediates
+            return {"m": m_s, "cum": cum, "vm": vm8, "slot": slot32}
 
-        percents = [int(q) for q in node.percents]
-
-        def rows_for_slot(s):
-            cs = cum[:, s]
-            ms = jnp.maximum(m_s[s] - 1, 0)
-            ranks = []
-            for q in percents:
-                num = jnp.int64(q) * ms
-                lo = num // 100
-                hi = jnp.minimum(lo + 1, ms)
-                ranks.extend([lo, hi])
-            targets = jnp.stack(ranks) + 1
-
-            def one(t):
-                blk = jnp.searchsorted(cs, t, side="left")
-                base = jnp.where(blk > 0, cs[jnp.maximum(blk - 1, 0)], 0)
-                wrow = jax.lax.dynamic_slice(vm8, (blk * 32,), (32,))
-                srow = jax.lax.dynamic_slice(slot32, (blk * 32,), (32,))
-                win = (wrow > 0) & (srow == s)
-                inner = jnp.cumsum(win.astype(I64))
-                off = jnp.sum((inner < (t - base)).astype(I32))
-                return (blk * 32 + off).astype(I32)
-
-            return jax.vmap(one)(targets)
-
-        rows = jax.vmap(rows_for_slot)(jnp.arange(ns, dtype=I32))
+        ms = jnp.maximum(m_s - 1, 0)  # [ns]
+        ranks = []
+        for q in node.percents:
+            num = jnp.int64(int(q)) * ms
+            lo = num // 100
+            hi = jnp.minimum(lo + 1, ms)
+            ranks.extend([lo, hi])
+        ranks = jnp.stack(ranks, axis=1)  # [ns, 2P]
+        rows = _slot_rank_select_rows(cum, vm8, slot32, ranks)
         return {"m": m_s, "rows": rows}  # [ns], [ns, 2P]
 
     # -- histogram -----------------------------------------------------------
@@ -1240,25 +1265,37 @@ class Program:
             bid = bid_own
             dims = (nb,)
         else:
-            if col.multi:
+            if ctx.slot_of_doc is None:
+                # row-space chaining under a multi-valued ancestor: each
+                # parent value row is one collect of this child (§3.2
+                # occurrence weighting); child values gather at the row's doc
+                rdoc = ctx.doc
+                rows_are_docs = ctx.rows_are_docs
+                pslot = jnp.where(ctx.valid, ctx.bid, -1)
+                valid = ctx.valid
+                bid_c = bid_own if rows_are_docs else bid_own[ctx.doc]
+            elif col.multi:
                 rdoc = arrays[f"{field}:doc"]
                 gvalid = arrays[f"{field}:valid"] > 0
                 rows_are_docs = False
                 pslot = ctx.slot_of_doc[rdoc]
                 pvalid = ctx.slot_valid_of_doc[rdoc]
                 valid = gvalid & pvalid
+                bid_c = bid_own
             else:
                 rdoc = None
                 rows_are_docs = True
                 pslot = ctx.slot_of_doc
                 valid = ctx.slot_valid_of_doc
-            bid = jnp.where(pslot >= 0, pslot, 0) * nb + bid_own
+                bid_c = bid_own
+            bid = jnp.where(pslot >= 0, pslot, 0) * nb + bid_c
             bid = jnp.where(pslot >= 0, bid, -1)
             dims = ctx.dims + (nb,)
         sub_ctx = SlotCtx(bid, valid, dims, rows_are_docs, rdoc, p["mode"])
         out = {"counts": self._madd(self._slot_counts(sub_ctx))}
         if node.sub_aggs:
-            if p["chain_ok"]:
+            doc_rooted = isinstance(ctx, MaskCtx) or ctx.slot_of_doc is not None
+            if p["chain_ok"] and doc_rooted:
                 sod, svd = self._chain_slots(sub_ctx)
                 sub_ctx.slot_of_doc = sod
                 sub_ctx.slot_valid_of_doc = svd
@@ -1331,20 +1368,30 @@ class Program:
             anc_flat = 1
             dims = (card,)
         else:
-            if col.multi:
+            if ctx.slot_of_doc is None:
+                # row-space chaining under a multi-valued ancestor (see
+                # _eval_histogram): child ids gather at each parent row's doc
+                rdoc = ctx.doc
+                rows_are_docs = ctx.rows_are_docs
+                ids_r = ids if rows_are_docs else ids[ctx.doc]
+                pslot = jnp.where(ctx.valid, ctx.bid, -1)
+                valid = ctx.valid & (ids_r >= 0)
+            elif col.multi:
                 rdoc = arrays[f"{field}:doc"]
                 gvalid = arrays[f"{field}:valid"] > 0
                 rows_are_docs = False
                 pslot = ctx.slot_of_doc[rdoc]
                 pvalid = ctx.slot_valid_of_doc[rdoc]
                 valid = gvalid & pvalid & (ids >= 0)
+                ids_r = ids
             else:
                 rdoc = None
                 rows_are_docs = True
                 pslot = ctx.slot_of_doc
                 valid = ctx.slot_valid_of_doc & (ids >= 0)
-            bid = jnp.where(pslot >= 0, pslot, 0) * card + ids
-            bid = jnp.where((pslot >= 0) & (ids >= 0), bid, -1)
+                ids_r = ids
+            bid = jnp.where(pslot >= 0, pslot, 0) * card + ids_r
+            bid = jnp.where((pslot >= 0) & (ids_r >= 0), bid, -1)
             anc_flat = ctx.nslots
             dims = ctx.dims + (card,)
         sub_ctx = SlotCtx(bid, valid, dims, rows_are_docs, rdoc, p["mode"])
@@ -1352,7 +1399,8 @@ class Program:
 
         sub_out = {}
         if node.sub_aggs:
-            if p["chain_ok"]:
+            doc_rooted = isinstance(ctx, MaskCtx) or ctx.slot_of_doc is not None
+            if p["chain_ok"] and doc_rooted:
                 sod, svd = self._chain_slots(sub_ctx)
                 sub_ctx.slot_of_doc = sod
                 sub_ctx.slot_valid_of_doc = svd
@@ -1482,7 +1530,43 @@ class Program:
 
     # -- top hits ------------------------------------------------------------
 
+    def _eval_top_hits_slots(self, node, ctx, arrays, path, p):
+        """Per-bucket top hits: one batched 3-key sort with the flat slot id
+        as the leading key, then a contiguous per-slot gather (slots are
+        runs in the sorted order)."""
+        field = node.sort_field
+        planes = self._planes_only(field, arrays)
+        rm = self._recon_rm(field, planes)
+        ns = ctx.nslots
+        k = min(p["k"], self._lT)
+        rows_doc = None if ctx.rows_are_docs else ctx.doc
+        rm_rows = rm if rows_doc is None else rm[rows_doc]
+        key = rm_rows if node.ascending else ~rm_rows
+        skey = jnp.where(ctx.valid & (ctx.bid >= 0),
+                         ctx.bid.astype(I32), ns)
+        doc = (jnp.arange(self._lT, dtype=I64) if rows_doc is None
+               else rows_doc.astype(I64))
+        if not ctx.rows_are_docs:
+            # collapse occurrence weights: one hit per (slot, doc) (§A.9)
+            s1, d1, k1 = jax.lax.sort((skey, doc, key), num_keys=2)
+            dup = jnp.concatenate([
+                jnp.zeros(1, dtype=bool),
+                (s1[1:] == s1[:-1]) & (d1[1:] == d1[:-1])])
+            skey, doc, key = jnp.where(dup, ns, s1), d1, k1
+        s2, k2, d2 = jax.lax.sort((skey, key, doc), num_keys=3)
+        starts = jnp.searchsorted(s2, jnp.arange(ns + 1, dtype=I32))
+        m_s = (starts[1:] - starts[:-1]).astype(I64)
+        rows = jnp.minimum(starts[:-1, None].astype(I64)
+                           + jnp.arange(k, dtype=I64)[None, :],
+                           s2.shape[0] - 1)
+        validk = jnp.arange(k, dtype=I64)[None, :] < m_s[:, None]
+        keys = jnp.where(validk, k2[rows], 0)
+        docs = jnp.where(validk, d2[rows], 0)
+        return {"keys": keys, "docs": docs, "m": m_s}
+
     def _eval_top_hits(self, node, ctx, arrays, path, p):
+        if not isinstance(ctx, MaskCtx):
+            return self._eval_top_hits_slots(node, ctx, arrays, path, p)
         field = node.sort_field
         planes = self._planes_only(field, arrays)
         rm = self._recon_rm(field, planes)
@@ -1536,6 +1620,8 @@ class Program:
                 keep(path, "m", r["m"])
                 if "rows" in r:
                     keep(path, "rows", r["rows"])
+                elif p["pmode"] == "slot_rank":
+                    bigs["/".join(path)] = (r["cum"], r["vm"], r["slot"])
                 elif p["pmode"] == "rank":
                     bigs["/".join(path)] = (r["cum32"], r["vmask_perm"])
                 else:
@@ -1587,12 +1673,32 @@ class Program:
             node = node[k]
         return node
 
+    def _slot_ranks(self, p, node_host) -> np.ndarray:
+        """[ns, 2P] exact 0-based rank pairs for a slot_rank phase-2 node."""
+        m_vec = np.asarray(node_host["m"]).reshape(-1)
+        ns = m_vec.shape[0]
+        ranks = np.zeros((ns, 2 * len(p["percents"])), np.int64)
+        for s in range(ns):
+            m = int(m_vec[s])
+            if m == 0:
+                continue
+            for i, q in enumerate(p["percents"]):
+                lo, hi, _ = exact.percentile_rank(q, m)
+                ranks[s, 2 * i], ranks[s, 2 * i + 1] = lo, hi
+        return ranks
+
     def percentile_gathers(self, host, big):
         gathers = {}
         for path, dev in big.items():
             node_host = self._node_at(host, path)
-            m = int(node_host["m"])
             p = self.plan[path]
+            if p["pmode"] == "slot_rank":
+                cum, vm8, slot32 = dev
+                with jax.enable_x64(True):
+                    rk = jnp.asarray(self._slot_ranks(p, node_host), I64)
+                gathers[path] = _slot_rank_select(cum, vm8, slot32, rk)
+                continue
+            m = int(node_host["m"])
             fracs, ranks = [], []
             for q in p["percents"]:
                 if m == 0:
@@ -1646,7 +1752,7 @@ class Program:
                                           prefix)
             return out
         if isinstance(node, A.TopHitsAgg):
-            return self._harvest_top_hits(node, raw, path)
+            return self._harvest_top_hits(node, raw, path, prefix)
         raise TypeError(f"unknown agg {type(node)!r}")
 
     def _mono_from_mm(self, p, raw_val) -> int:
@@ -1707,8 +1813,9 @@ class Program:
             m = int(np.asarray(raw["m"]).reshape(-1)[flat])
             if m == 0:
                 return {"values": {str(q): None for q in node.percents}}
-            rows = np.asarray(raw["rows"]).reshape(-1,
-                                                   2 * len(node.percents))[flat]
+            rows = np.asarray(raw["rows"] if "rows" in raw
+                              else raw["pvals"]).reshape(
+                -1, 2 * len(node.percents))[flat]
             out = {}
             for i, q in enumerate(node.percents):
                 _, _, frac = exact.percentile_rank(q, m)
@@ -1849,12 +1956,22 @@ class Program:
             buckets.append(b)
         return {"buckets": buckets, "sum_other_doc_count": total_here - shown}
 
-    def _harvest_top_hits(self, node, raw, path):
+    def _harvest_top_hits(self, node, raw, path, prefix=()):
         p = self.plan[path]
-        m = int(raw["m"])
-        k = min(node.size, m)
-        keys = np.asarray(raw["keys"])[:k]
-        docs = np.asarray(raw["docs"])[:k]
+        if p.get("in_slot"):
+            hdims = p["hdims"]
+            flat = int(np.ravel_multi_index(prefix, hdims)) if prefix else 0
+            keys_a = np.asarray(raw["keys"])
+            kcap = keys_a.shape[-1]
+            m = int(np.asarray(raw["m"]).reshape(-1)[flat])
+            k = min(node.size, m, kcap)
+            keys = keys_a.reshape(-1, kcap)[flat][:k]
+            docs = np.asarray(raw["docs"]).reshape(-1, kcap)[flat][:k]
+        else:
+            m = int(raw["m"])
+            k = min(node.size, m)
+            keys = np.asarray(raw["keys"])[:k]
+            docs = np.asarray(raw["docs"])[:k]
         starts = self.dindex.seg_starts
         hits = []
         for kk, dd in zip(keys.tolist(), docs.tolist()):
@@ -1892,6 +2009,43 @@ def _rank_select_rows(cum32, vmask_perm, ranks):
 def _rank_select(cum32, vmask_perm, ranks):
     with jax.enable_x64(True):
         return _rank_select_rows(cum32, vmask_perm, ranks)
+
+
+def _slot_rank_select_rows(cum, vm8, slot32, ranks):
+    """Per-slot rank gather: cum [G, ns] inclusive per-32-row-block per-slot
+    match prefixes, ranks [ns, 2P] 0-based -> [ns, 2P] layout rows of the
+    (rank+1)-th matched row of each slot. Trace-time body (x64 semantics)."""
+    ns = cum.shape[1]
+
+    def per_slot(s, rk):
+        cs = cum[:, s]
+        targets = rk + 1
+
+        def one(t):
+            blk = jnp.searchsorted(cs, t, side="left")
+            base = jnp.where(blk > 0, cs[jnp.maximum(blk - 1, 0)], 0)
+            wrow = jax.lax.dynamic_slice(vm8, (blk * 32,), (32,))
+            srow = jax.lax.dynamic_slice(slot32, (blk * 32,), (32,))
+            win = (wrow > 0) & (srow == s)
+            inner = jnp.cumsum(win.astype(I64))
+            off = jnp.sum((inner < (t - base)).astype(I32))
+            return (blk * 32 + off).astype(I32)
+
+        return jax.vmap(one)(targets)
+
+    return jax.vmap(per_slot)(jnp.arange(ns, dtype=I32), ranks)
+
+
+@jax.jit
+def _slot_rank_select(cum, vm8, slot32, ranks):
+    with jax.enable_x64(True):
+        return _slot_rank_select_rows(cum, vm8, slot32, ranks)
+
+
+@jax.jit
+def _slot_rank_select_batch(cum, vm8, slot32, ranks):
+    with jax.enable_x64(True):
+        return jax.vmap(_slot_rank_select_rows)(cum, vm8, slot32, ranks)
 
 
 def get_program(dindex, query, aggs, config=None) -> Program:

@@ -418,6 +418,11 @@ class OracleSearcher:
         if isinstance(agg, A.TermsAgg):
             return self._terms_weighted(agg, per_seg_w)
 
+        if isinstance(agg, A.TopHitsAgg):
+            # spec choice (§A.9): hits are DOCS of the bucket — a doc in the
+            # bucket via multiple parent value occurrences appears once
+            return self._top_hits(agg, [(seg, w > 0) for seg, w in per_seg_w])
+
         raise TypeError(f"unsupported sub-agg {type(agg)!r}")
 
     def _metric_from_values(self, agg, ftype, vals: np.ndarray) -> dict:

@@ -15,6 +15,22 @@ from .aggs import ir as agg_ir
 from .query import ir as query_ir
 
 
+class _HostFallback:
+    """Exact host execution for the rare agg-tree shapes the device planner
+    cannot lower yet (SURVEY.md §2.1: the spec defines semantics for every
+    tree; the engine must never refuse one). The oracle IS the engine's
+    host path — same index, same exact arithmetic — so results are
+    identical by construction. Carries just enough of the Program protocol
+    for the msearch/stream drivers to pass groups through synchronously."""
+
+    def __init__(self, oracle, reason: str):
+        self.oracle = oracle
+        self.reason = reason
+
+    def run(self, query, aggs):
+        return self.oracle.agg_search(query, aggs)
+
+
 class Searcher:
     def __init__(self, index, mesh=None, config=None):
         from .engine_config import EngineConfig
@@ -48,7 +64,13 @@ class Searcher:
         prog = self._programs.get(key)
         self._program_was_cached = prog is not None
         if prog is None:
-            prog = get_program(dindex, query, aggs, config=self.config)
+            try:
+                prog = get_program(dindex, query, aggs, config=self.config)
+            except NotImplementedError as e:
+                from .utils.stats import log
+                log.warning("agg tree has no device lowering (%s); "
+                            "running the exact host path", e)
+                prog = _HostFallback(self.index.oracle_searcher(), str(e))
             self._programs[key] = prog
             while len(self._programs) > self._max_programs:
                 self._programs.pop(next(iter(self._programs)))
@@ -68,8 +90,11 @@ class Searcher:
         prog = self._program_for(query, aggs)
         st = QueryStats(program_cached=self._program_was_cached)
         st.prepare_ms = t.lap()
-        raw = prog.submit(query, aggs)
-        out = prog.finalize(raw, aggs)
+        if isinstance(prog, _HostFallback):
+            out = prog.run(query, aggs)
+        else:
+            raw = prog.submit(query, aggs)
+            out = prog.finalize(raw, aggs)
         st.device_ms = t.lap()
         st.total_ms = st.prepare_ms + st.device_ms
         self.last_stats = st
@@ -99,25 +124,21 @@ class Searcher:
             else:
                 groups.append((prog, [query], aggs))
         # phase 1: dispatch everything, starting async host copies per group
-        submitted = []
-        for prog, queries, aggs in groups:
-            if len(queries) == 1:
-                raw = prog.submit(queries[0], aggs)
-            else:
-                pad = 1
-                while pad < len(queries):
-                    pad *= 2  # pow-2 batch shapes: bounded jit variants
-                raw = prog.submit_many(queries, aggs, pad_to=pad)
-            submitted.append((prog, queries, aggs, raw, prog.stage(raw, aggs)))
+        submitted = [self._submit_group(prog, queries, aggs)
+                     for prog, queries, aggs in groups]
         # phase 2: collect (transfers have been landing in the background)
         results = []
-        for prog, queries, aggs, raw, staged in submitted:
-            if len(queries) == 1:
-                results.append(prog.finalize(raw, aggs, staged=staged))
-            else:
-                results.extend(prog.finalize_many(raw, aggs, len(queries),
-                                                  staged=staged))
+        for group in submitted:
+            results.extend(self._collect_group(group))
         return results
+
+    def _collect_group(self, group):
+        prog, queries, aggs, raw, staged = group
+        if isinstance(prog, _HostFallback):
+            return [prog.run(q, aggs) for q in queries]
+        if len(queries) == 1:
+            return [prog.finalize(raw, aggs, staged=staged)]
+        return prog.finalize_many(raw, aggs, len(queries), staged=staged)
 
     def agg_search_stream(self, requests, lookahead: int = 2):
         """Sustained-serving generator over an iterable of (query, aggs):
@@ -159,15 +180,13 @@ class Searcher:
             if not next_group():
                 break
         while pending:
-            prog, queries, aggs, raw, staged = pending.popleft()
+            group = pending.popleft()
             next_group()
-            if len(queries) == 1:
-                yield prog.finalize(raw, aggs, staged=staged)
-            else:
-                yield from prog.finalize_many(raw, aggs, len(queries),
-                                              staged=staged)
+            yield from self._collect_group(group)
 
     def _submit_group(self, prog, queries, aggs):
+        if isinstance(prog, _HostFallback):
+            return (prog, queries, aggs, None, None)
         if len(queries) == 1:
             raw = prog.submit(queries[0], aggs)
         else:
