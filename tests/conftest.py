@@ -12,12 +12,19 @@ module — and override the config explicitly.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+#: TAT_TPU_TESTS=1 switches to the real-TPU lane: the backend is left alone
+#: (axon TPU on this box) and only tests marked @pytest.mark.tpu should be
+#: selected (`TAT_TPU_TESTS=1 python -m pytest tests -m tpu`). The default
+#: lane runs everything on a virtual 8-device CPU mesh.
+TPU_LANE = os.environ.get("TAT_TPU_TESTS") == "1"
 
-import jax  # noqa: E402
+if not TPU_LANE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
-jax.config.update("jax_platforms", "cpu")
-assert len(jax.devices()) == 8
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) == 8

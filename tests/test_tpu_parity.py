@@ -1,0 +1,175 @@
+"""Real-TPU parity lane (SURVEY.md §4): a compact device-parity matrix that
+runs against whatever JAX backend is active. In the default test lane this
+executes on the virtual CPU mesh like everything else; run it on the real
+chip with
+
+    TAT_TPU_TESTS=1 python -m pytest tests -m tpu -q
+
+(from /root/repo, no PYTHONPATH — see CLAUDE.md). The TPU lane is the
+regression net for backend-specific behavior the CPU suite can't see:
+Mosaic kernel lowering under scoped x64, real int64-emulation arithmetic,
+lax.sort/top_k on the vector units, and the axon transfer path."""
+
+import numpy as np
+import pytest
+
+from tantivy_aggregations_tpu import (
+    BooleanQuery,
+    Index,
+    MatchAllQuery,
+    RangeQuery,
+    SchemaBuilder,
+    TermQuery,
+    avg_agg,
+    count_agg,
+    filter_agg,
+    histogram_agg,
+    max_agg,
+    min_agg,
+    percentiles_agg,
+    stats_agg,
+    sum_agg,
+    terms_agg,
+    top_hits_agg,
+)
+from tantivy_aggregations_tpu.schema import Cardinality
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def idx():
+    schema = (SchemaBuilder()
+              .add_u64_field("amount")        # narrow, Pallas direct path
+              .add_u64_field("big")           # span > 2^26 (blkr cap)
+              .add_i64_field("delta")
+              .add_f64_field("price")         # limb planes
+              .add_date_field("ts")
+              .add_keyword_field("status")    # low card dense
+              .add_keyword_field("sku")       # high card -> prefix layout
+              .add_keyword_field("tags", cardinality=Cardinality.MULTI)
+              .add_u64_field("counts", cardinality=Cardinality.MULTI)
+              .build())
+    index = Index.create_in_ram(schema)
+    w = index.writer()
+    rng = np.random.default_rng(42)
+    n = 40_000
+    nv = rng.integers(0, 3, n)
+    offs = np.zeros(n + 1, np.uint32)
+    np.cumsum(nv, out=offs[1:])
+    tags_nv = rng.integers(0, 4, n)
+    tags_offs = np.zeros(n + 1, np.uint32)
+    np.cumsum(tags_nv, out=tags_offs[1:])
+    tag_vocab = np.asarray([f"t{i}" for i in range(12)], object)
+    cols = {
+        "amount": rng.integers(0, 10_000, n, dtype=np.uint64),
+        "big": rng.integers(0, 2**30, n, dtype=np.uint64),
+        "delta": rng.integers(-500, 500, n, dtype=np.int64),
+        "price": np.round(rng.lognormal(2.0, 1.0, n), 2),
+        "ts": (np.uint64(1_600_000_000_000_000)
+               + rng.integers(0, 30 * 86_400_000_000, n, dtype=np.uint64)),
+        "status": np.asarray(["a", "b", "c", "d"], object)[
+            rng.integers(0, 4, n)],
+        "sku": np.asarray([f"sku{int(i):05d}"
+                           for i in rng.zipf(1.3, n) % 2000], object),
+        "tags": (tags_offs, tag_vocab[rng.integers(0, 12, int(tags_offs[-1]))]),
+        "counts": (offs, rng.integers(0, 100, int(offs[-1]),
+                                      dtype=np.uint64)),
+    }
+    half = n // 2
+    for lo, hi in ((0, half), (half, n)):
+        part = {}
+        for k, v in cols.items():
+            if isinstance(v, tuple):
+                o, vals = v
+                part[k] = (o[lo:hi + 1] - o[lo], vals[o[lo]:o[hi]])
+            else:
+                part[k] = v[lo:hi]
+        w.add_documents_columnar(part, hi - lo)
+        w.commit()
+    # deletes exercise the alive mask
+    w2 = index.writer()
+    w2.delete_term("status", "d")
+    w2.commit()
+    return index
+
+
+def run(idx, query, aggs):
+    got = idx.searcher().agg_search(query, aggs)
+    want = idx.oracle_searcher().agg_search(query, aggs)
+    assert got == want, f"\ndevice: {got}\noracle: {want}"
+    return got
+
+
+def test_metrics_pallas_paths(idx):
+    run(idx, MatchAllQuery(),
+        {"st": stats_agg("amount"), "big": stats_agg("big"),
+         "sp": sum_agg("price"), "sd": sum_agg("delta"), "n": count_agg()})
+    run(idx, TermQuery("status", "a"),
+        {"st": stats_agg("amount"), "avg_c": avg_agg("counts")})
+
+
+def test_queries_matrix(idx):
+    for q in [
+        RangeQuery("amount", lower=100, upper=9000, include_upper=True),
+        RangeQuery("price", lower=1.5, upper=80.0),
+        TermQuery("counts", 7),
+        TermQuery("tags", "t3"),
+        BooleanQuery(must=[RangeQuery("delta", lower=-100)],
+                     must_not=[TermQuery("status", "b")]),
+        RangeQuery("sku", lower="sku00010", upper="sku01000"),
+    ]:
+        run(idx, q, {"n": count_agg(), "s": sum_agg("amount")})
+
+
+def test_bucket_paths(idx):
+    day = 86_400_000_000
+    run(idx, MatchAllQuery(),
+        {"h": histogram_agg("ts", interval=day,
+                            sub_aggs={"s": sum_agg("amount")})})
+    run(idx, MatchAllQuery(),
+        {"t": terms_agg("sku", size=10,
+                        sub_aggs={"s": sum_agg("amount"),
+                                  "n": count_agg()})})  # prefix layout
+    run(idx, MatchAllQuery(),
+        {"t": terms_agg("status", size=4, sub_aggs={
+            "h": histogram_agg("amount", interval=1000,
+                               sub_aggs={"a": avg_agg("price")})})})
+    run(idx, MatchAllQuery(),
+        {"t": terms_agg("tags", size=12, sub_aggs={"s": sum_agg("amount")})})
+
+
+def test_terms_order_paths(idx):
+    run(idx, MatchAllQuery(),
+        {"t": terms_agg("sku", size=10, order=("s", "desc"),
+                        sub_aggs={"s": sum_agg("amount")})})
+    run(idx, MatchAllQuery(),
+        {"t": terms_agg("status", size=4, order=("a", "asc"),
+                        sub_aggs={"a": avg_agg("price")})})
+
+
+def test_percentiles_and_tophits(idx):
+    run(idx, RangeQuery("amount", lower=100),
+        {"p": percentiles_agg("price"),
+         "pf": filter_agg(TermQuery("status", "a"),
+                          sub_aggs={"n": count_agg()})})
+    run(idx, MatchAllQuery(),
+        {"p": percentiles_agg("delta", [2.5, 50.0, 97.5])})
+    run(idx, RangeQuery("big", upper=2**29),
+        {"th": top_hits_agg(5, "big", ascending=False),
+         "lo": min_agg("big")})
+    run(idx, MatchAllQuery(),
+        {"t": terms_agg("status", size=4, sub_aggs={
+            "p": percentiles_agg("price"),
+            "th": top_hits_agg(3, "amount")})})
+
+
+def test_msearch_stream_on_device(idx):
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("amount"),
+            "lo": min_agg("price")}
+    reqs = [(TermQuery("status", c), aggs) for c in "abcabc"] * 4
+    outs = list(s.agg_search_stream(iter(reqs), lookahead=3))
+    for (q, a), got in zip(reqs, outs):
+        assert got == o.agg_search(q, a)
