@@ -104,7 +104,7 @@ def finalize_cpp(cfg: int, raw: dict) -> dict:
         return {"h": {"buckets": [
             {"key": k, "doc_count": c, "s": {"value": int(s)}}
             for k, c, s in raw["buckets"]]}}
-    if cfg in (4, 6):  # c6 = same tree ordered by sum(amount) desc
+    if cfg in (4, 6, 7):  # c6 = ordered by sum desc; c7 = multi-field query
         return {"t": {
             "buckets": [{"key": k, "doc_count": c, "s": {"value": int(s)},
                          "n": {"value": c2}}
@@ -167,7 +167,7 @@ def main():
     if not args.skip_baseline:
         exe = build_baseline()
         manifest = write_manifest(idx, path)
-        for cfg in range(1, 7):
+        for cfg in range(1, 8):
             t0 = time.time()
             out = subprocess.run([exe, manifest, str(cfg), str(cpp_reps)],
                                  capture_output=True, text=True, check=True)

@@ -297,6 +297,9 @@ class Program:
             if col.multi_planes is not None:
                 for kk, pk in enumerate(col.multi_planes):
                     self._need(f"{col.name}:mp{kk}", pk)
+            if col.tail_w is not None:
+                self._need(f"{col.name}:tw", col.tail_w)
+                self._need(f"{col.name}:tdoc", col.tail_doc)
 
     def _collect_query_arrays(self, q):
         if isinstance(q, Q.BooleanQuery):
@@ -312,7 +315,16 @@ class Program:
         return out
 
     def _chain_is_dense(self, chain) -> bool:
-        return all(not self._col(f).multi for f in self._chain_fields(chain))
+        """True when every query field in the chain is evaluable in ANY
+        doc-aligned permuted row space: single-valued, or multi-valued with
+        FULL dense plane coverage (<= DENSE_MULTI_K values per doc, no
+        overflow tail). This is what gates the prefix/rank fast paths."""
+        for f in self._chain_fields(chain):
+            col = self._col(f)
+            if col.multi and (col.multi_planes is None
+                              or col.tail_w is not None):
+                return False
+        return True
 
     # -- permuted views ------------------------------------------------------
 
@@ -346,7 +358,14 @@ class Program:
         for f in self._chain_fields(chain):
             colf = self._col(f)
             if colf.multi:
-                raise NotImplementedError("CSR query field in permuted view")
+                if colf.multi_planes is None or colf.tail_w is not None:
+                    raise NotImplementedError(
+                        "CSR query field in permuted view")
+                # dense per-position planes are doc-aligned: they permute
+                # into the layout like any single-valued column
+                for kk, ph in enumerate(colf.multi_planes_host):
+                    cache(f"{f}:mp{kk}", lambda ph=ph: ph[perm])
+                continue
             hp = self._host_planes(colf)
             if colf.narrow or colf.ftype.is_stringy:
                 cache(f"{f}:w", lambda hp=hp: hp[0][perm])
@@ -729,7 +748,7 @@ class Program:
         # per-plane, which is wrong, so they stay unsupported)
         p["plane_fanout"] = (
             not in_slot and col.multi and col.ftype.is_stringy
-            and col.multi_planes is not None
+            and col.multi_planes is not None and col.tail_w is None
             and tflat * card <= self.dense_nb
             and not self._has_selection_sub(node))
         if p["plane_fanout"]:

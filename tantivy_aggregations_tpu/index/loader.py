@@ -128,9 +128,17 @@ class DeviceColumn:
     _host_doc: Optional[np.ndarray] = None  # CSR doc ids (padded layout)
     _orig_docs: Optional[np.ndarray] = None  # CSR: global doc per value row
     _orig_values: Optional[np.ndarray] = None  # CSR: values, original order
-    #: dense doc-aligned planes for short multi-valued NARROW fields:
-    #: list of [T] int32 w-planes (-1 = no value at that position)
+    #: dense doc-aligned planes for multi-valued NARROW/keyword fields:
+    #: list of [T] int32 w-planes (-1 = no value at that position), covering
+    #: value positions 0..DENSE_MULTI_K-1 of each doc
     multi_planes: Optional[list] = None
+    multi_planes_host: Optional[list] = None  # np copies (permuted views)
+    #: overflow tail for docs with more than DENSE_MULTI_K values: the
+    #: remaining value rows as a (small) CSR triple — term/range doc masks
+    #: are plane compares plus a scatter-or over just these rows
+    tail_w: Optional[jnp.ndarray] = None      # int32 [Vt]
+    tail_doc: Optional[jnp.ndarray] = None    # int32 [Vt], shard-local
+    tail_valid: Optional[jnp.ndarray] = None  # int8 [Vt]
     # -- numeric terms dictionary (lazy) --------------------------------------
     _term_ids: Optional[jnp.ndarray] = None
     _term_ids_host: Optional[np.ndarray] = None
@@ -581,22 +589,67 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
         else:
             col.hi, col.lo = _put(a, mesh), _put(b, mesh)
 
-    # doc-aligned dense planes for short narrow/keyword multi fields
+    # doc-aligned dense planes for narrow/keyword multi fields (value
+    # positions 0..DENSE_MULTI_K-1), plus a sparse overflow tail for docs
+    # with more values — term/range doc masks are pure plane compares plus
+    # a scatter-or over only the tail rows (usually none)
     if col.narrow or keyword:
         cnt = np.bincount(docs, minlength=T) if n else np.zeros(T, np.int64)
         kmax = int(cnt.max()) if n else 0
-        if kmax <= DENSE_MULTI_K:
-            if keyword:
-                wvals = m.astype(np.int64)  # global ords
-            else:
-                wvals = _w_u64(m, min_mono).astype(np.int64)
-            offs_g = np.zeros(T + 1, np.int64)
-            np.cumsum(cnt, out=offs_g[1:])
-            planes = []
-            for k in range(max(kmax, 1)):
-                pk = np.full(T, -1, np.int64)
-                has = cnt > k
-                pk[has] = wvals[offs_g[:-1][has] + k]
-                planes.append(_put(pk.astype(I32), mesh))
-            col.multi_planes = planes
+        if keyword:
+            wvals = m.astype(np.int64)  # global ords
+        else:
+            wvals = _w_u64(m, min_mono).astype(np.int64)
+        offs_g = np.zeros(T + 1, np.int64)
+        np.cumsum(cnt, out=offs_g[1:])
+        planes, planes_host = [], []
+        for k in range(max(min(kmax, DENSE_MULTI_K), 1)):
+            pk = np.full(T, -1, np.int64)
+            has = cnt > k
+            pk[has] = wvals[offs_g[:-1][has] + k]
+            pk = pk.astype(I32)
+            planes_host.append(pk)
+            planes.append(_put(pk, mesh))
+        col.multi_planes = planes
+        col.multi_planes_host = planes_host
+        if kmax > DENSE_MULTI_K:
+            # overflow rows: value positions >= DENSE_MULTI_K of each doc
+            pos_in_doc = np.arange(n, dtype=np.int64) - offs_g[:-1][docs]
+            sel = pos_in_doc >= DENSE_MULTI_K
+            t_docs = docs[sel]
+            t_w = wvals[sel].astype(I32)
+            tw, tdoc, tvalid = _shard_partition_csr(
+                t_w, t_docs, T, D, fill=np.int32(-1))
+            col.tail_w = _put(tw, mesh)
+            col.tail_doc = _put(tdoc, mesh)
+            col.tail_valid = _put(tvalid.astype(np.int8), mesh)
     return col
+
+
+def _shard_partition_csr(vals: np.ndarray, docs: np.ndarray, T: int, D: int,
+                         fill):
+    """Partition CSR rows by owning shard (doc // (T/D)), pad each shard's
+    slice to a common PAD_BLOCK multiple, localize doc ids. Returns
+    (vals [V], doc [V] int32 shard-local, valid [V] bool)."""
+    n = vals.shape[0]
+    chunk = T // D
+    shard_of_row = docs // chunk if n else docs
+    counts = (np.bincount(shard_of_row.astype(np.int64), minlength=D)
+              if n else np.zeros(D, np.int64))
+    Vp = _pad_to(int(counts.max()) if n else 1, PAD_BLOCK)
+    V = D * Vp
+    vals_out = np.full(V, fill, dtype=vals.dtype)
+    doc_out = np.zeros(V, I32)
+    valid_out = np.zeros(V, bool)
+    order = np.argsort(shard_of_row, kind="stable") if n else \
+        np.zeros(0, np.int64)
+    start = 0
+    for d in range(D):
+        c = int(counts[d])
+        sel = order[start:start + c]
+        o = d * Vp
+        vals_out[o:o + c] = vals[sel]
+        doc_out[o:o + c] = (docs[sel] - d * chunk).astype(I32)
+        valid_out[o:o + c] = True
+        start += c
+    return vals_out, doc_out, valid_out

@@ -119,6 +119,14 @@ def extra_configs():
          {"t": terms_agg("sku", size=10, order=("s", "desc"),
                          sub_aggs={"s": sum_agg("amount"),
                                    "n": count_agg()})}),
+        # c4-shaped tree gated by a TermQuery on a MULTI-VALUED field: the
+        # dense per-position planes keep the high-card terms on the prefix
+        # path (VERDICT r1 #4 done-criterion)
+        (7, "c7_terms_prefix_multiquery",
+         TermQuery("weights", 500),
+         {"t": terms_agg("sku", size=10,
+                         sub_aggs={"s": sum_agg("amount"),
+                                   "n": count_agg()})}),
     ]
 
 
@@ -145,6 +153,9 @@ def varied_requests(cfg: int, aggs, n: int):
                                               include_upper=True)])
             out.append((q, aggs))
         return out
+    if cfg == 7:
+        return [(TermQuery("weights", 500 + (j % 32)), aggs)
+                for j in range(n)]
     return [(query, aggs)] * n
 
 

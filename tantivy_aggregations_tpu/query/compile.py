@@ -185,8 +185,9 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
     if isinstance(q, Q.ExistsQuery):
         col = dindex.column(q.field)
         if col.multi:
-            if col.multi_planes is not None and not prefix:
-                return arrays[f"{q.field}:mp0"] >= 0
+            if col.multi_planes is not None:
+                # position-0 plane: any value => a first value exists
+                return arrays[prefix + f"{q.field}:mp0"] >= 0
             if prefix:
                 raise NotImplementedError(
                     "CSR query field under a permuted view")
@@ -199,23 +200,33 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
         col = dindex.column(q.field)
         k = _key(path)
         a = lambda s: arrays[prefix + f"{q.field}:{s}"]
-        if col.multi and col.multi_planes is not None and not prefix:
-            # short multi field: OR of per-position dense plane compares
-            # (doc-aligned; replaces the value-row scatter-or entirely)
-            m = jnp.zeros(T, dtype=bool)
-            for kk in range(len(col.multi_planes)):
-                pk = arrays[f"{q.field}:mp{kk}"]
+        if col.multi and col.multi_planes is not None:
+            # multi field with dense per-position planes: OR of doc-aligned
+            # compares (works under permuted views too — planes permute like
+            # any doc-aligned column); docs with > DENSE_MULTI_K values
+            # contribute their overflow rows via a scatter-or over just the
+            # (small) tail. -1 fill rows can never match: term params are
+            # w-domain (>= 0) or the -2 missing-ordinal sentinel, and the
+            # range compare carries an explicit >= 0 guard.
+            def cmp32(pk):
                 if isinstance(q, Q.TermQuery):
                     if col.ftype.is_stringy:
-                        m |= pk == params[k + ":t"]
-                    else:
-                        m |= (((pk == params[k + ":t0"])
-                               & (params[k + ":tv0"] > 0))
-                              | ((pk == params[k + ":t1"])
-                                 & (params[k + ":tv1"] > 0)))
-                else:
-                    m |= ((pk >= params[k + ":lo"])
-                          & (pk <= params[k + ":hi"]) & (pk >= 0))
+                        return pk == params[k + ":t"]
+                    return (((pk == params[k + ":t0"])
+                             & (params[k + ":tv0"] > 0))
+                            | ((pk == params[k + ":t1"])
+                               & (params[k + ":tv1"] > 0)))
+                return ((pk >= params[k + ":lo"])
+                        & (pk <= params[k + ":hi"]) & (pk >= 0))
+
+            m = jnp.zeros(T, dtype=bool)
+            for kk in range(len(col.multi_planes)):
+                m |= cmp32(arrays[prefix + f"{q.field}:mp{kk}"])
+            if col.tail_w is not None:
+                # plan guards keep tailed fields out of permuted views
+                m |= R.values_hit_to_doc_mask(
+                    cmp32(arrays[f"{q.field}:tw"]),
+                    arrays[f"{q.field}:tdoc"], T)
             return m
         if isinstance(q, Q.TermQuery) and col.ftype.is_stringy:
             hits = a("w") == params[k + ":t"]
