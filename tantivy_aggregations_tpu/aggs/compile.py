@@ -17,12 +17,16 @@ the measured hardware rationale):
 - high-cardinality terms ("prefix"): bucket-sorted OrderedLayout; the query
   mask is evaluated directly in permuted space over cached permuted column
   planes; per-bucket totals come from 32-block sums + a small int64 cumsum
-  + bounds-gather differences. No sort, no scatter, no big gather.
+  + bounds-gather differences. No sort, no scatter, no big gather. Sharded
+  meshes use PER-SHARD layouts (permutations never cross shards) and psum
+  the [card] partial vectors — the only cross-chip traffic per bucket agg.
 - percentiles ("rank"): value-sorted OrderedLayout + coarse prefix counts;
   rank rows are resolved in a tiny second-phase program and mapped to
-  values on the host. ("sort" fallback reconstructs int64 and sorts.)
-- "scatter" fallback for everything else (the sharded mesh path runs on it
-  plus the dense mode; XLA:CPU executes scatters well).
+  values on the host. Sharded meshes select by BISECTING the value domain
+  against per-shard sorted planes (_bisect_select_values) — no all-gather,
+  no sort, O(log span) tiny psums. ("sort" fallback reconstructs int64 and
+  sorts; sharded non-integer percents still use it.)
+- "scatter" fallback for everything else (XLA:CPU executes scatters well).
 
 Nesting compiles to composite bucket slots (SURVEY.md §7 step 4). v1 device
 limits (oracle supports all of these; device raises NotImplementedError):
@@ -337,7 +341,9 @@ class Program:
 
         def cache(key, build):
             if key not in layout.cache:
-                layout.cache[key] = jnp.asarray(build())
+                from ..index.loader import _put
+                layout.cache[key] = _put(np.asarray(build()),
+                                         self.dindex.mesh)
             self._need(prefix + key, layout.cache[key])
 
         cache("alive", lambda: self.dindex.alive_host[perm])
@@ -392,6 +398,36 @@ class Program:
                     cache(f"pay:{g}:s{i}", lambda limbs=limbs, i=i: limbs[perm, i])
                 self.plan.setdefault(("payL", prefix, g),
                                      {"L": limbs.shape[1]})
+
+    def _need_bounds32(self, prefix, layout):
+        """Register a bucket layout's 32-unit bounds: [card+1] unsharded,
+        [D, card+1] sharded (axis 0 over 'd' — each shard sees its own
+        local bounds row inside shard_map)."""
+        from ..index.loader import _put
+        b = np.asarray(layout.bounds)
+        self._need(prefix + "bounds32", _put(b, self.dindex.mesh, b.ndim))
+
+    def _need_sorted_value_planes(self, col, layout, prefix):
+        """Ascending device planes of the value layout's sorted values, for
+        cross-shard bisection selection. Invalid/padding rows carry the
+        domain maximum (sorted_mono already holds I64_MAX there), so the
+        stored planes are ascending end to end."""
+        from ..index.loader import _put, _w_u64, _split_wide
+
+        def cache(key, build):
+            if key not in layout.cache:
+                layout.cache[key] = _put(np.asarray(build()),
+                                         self.dindex.mesh)
+            self._need(prefix + key, layout.cache[key])
+
+        wu = _w_u64(layout.sorted_mono, col.min_mono)
+        if col.narrow:
+            cache("sv0", lambda: np.minimum(
+                wu, np.uint64(2**31 - 1)).astype(np.int32))
+        else:
+            h, l = _split_wide(wu)
+            cache("sv0", lambda: h)
+            cache("sv1", lambda: l)
 
     def _host_planes(self, col):
         if getattr(col, "_host_planes_cache", None) is None:
@@ -559,20 +595,30 @@ class Program:
                                       bucket_fields=bucket_fields)
             self.plan[path] = p
             return
-        if (not self._sharded and not col.multi
-                and self._chain_is_dense(chain)):
+        int_p = all(float(q).is_integer() for q in node.percents)
+        if (not col.multi and self._chain_is_dense(chain)
+                and (not self._sharded or int_p)):
             p["pmode"] = "rank"
             # integer percents (incl. the ES defaults) resolve ranks inside
             # the main program: no big intermediates leave the device and no
             # second transfer round is needed
-            p["int_percents"] = all(float(q).is_integer()
-                                    for q in node.percents)
+            p["int_percents"] = int_p
             layout = col.value_layout()
             p["layout"] = layout
             prefix = f"VL:{node.field}#"
             p["prefix"] = prefix
             self._build_permuted_view(layout, prefix, chain, ())
+            # sharded: selected values come from a cross-shard bisection
+            # over the (per-shard sorted) value planes, not from row
+            # positions — register the ascending value plane(s)
+            p["bisect"] = self._sharded
+            p["span"] = col.span
+            if p["bisect"]:
+                self._need_sorted_value_planes(col, layout, prefix)
         else:
+            # sharded + non-integer percents: host rank arithmetic needs a
+            # second phase over per-shard intermediates; the sort fallback
+            # stays exact (all-gather + sort — off the fast path by design)
             p["pmode"] = "sort"
             self._need_col_planes(col)
         self.plan[path] = p
@@ -658,11 +704,12 @@ class Program:
                            for _, s in node.sub_aggs)
         if tflat * nb <= self.dense_nb:
             p["mode"] = "dense"
-        elif (not in_slot and not self._sharded and not col.multi
+        elif (not in_slot and not col.multi
               and sub_kinds_ok and self._chain_is_dense(chain)):
             # large histogram: static bucket ids -> the same prefix-layout
             # machinery as high-cardinality terms (sorted rows + 32-aligned
-            # bounds + prefix differences; no scatter, no sort)
+            # bounds + prefix differences; no scatter, no sort). Sharded
+            # meshes use per-shard layouts + one [nb] psum (SURVEY.md §3.5).
             p["mode"] = "prefix"
             layout = col.layout_for_ids(bid_key, bid_host, nb)
             p["layout"] = layout
@@ -671,7 +718,7 @@ class Program:
             payload_fields = [s.field for _, s in node.sub_aggs
                               if isinstance(s, (A.SumAgg, A.AvgAgg))]
             self._build_permuted_view(layout, prefix, chain, payload_fields)
-            self._need(prefix + "bounds32", jnp.asarray(layout.bounds))
+            self._need_bounds32(prefix, layout)
         else:
             p["mode"] = "scatter"
         self.plan[path] = p
@@ -758,7 +805,7 @@ class Program:
                            for _, s in node.sub_aggs)
         if tflat * card <= self.dense_nb:
             p["mode"] = "dense"
-        elif (not in_slot and not self._sharded and not col.multi
+        elif (not in_slot and not col.multi
               and sub_kinds_ok and self._chain_is_dense(chain)):
             p["mode"] = "prefix"
             layout = col.bucket_layout()
@@ -768,7 +815,7 @@ class Program:
             payload_fields = [s.field for _, s in node.sub_aggs
                               if isinstance(s, (A.SumAgg, A.AvgAgg))]
             self._build_permuted_view(layout, prefix, chain, payload_fields)
-            self._need(prefix + "bounds32", jnp.asarray(layout.bounds))
+            self._need_bounds32(prefix, layout)
         else:
             p["mode"] = "scatter"
         self.plan[path] = p
@@ -1120,10 +1167,11 @@ class Program:
             return self._eval_percentiles_slots(node, ctx, params, arrays,
                                                 path, p)
         if p["pmode"] == "rank":
-            Rn = p["layout"].n_rows
+            # local (shard) row count: layout.n_rows is the global length
+            Rn = arrays[p["prefix"] + "lvalid"].shape[0]
             vm = self._perm_mask(ctx.chain, params, arrays, p["prefix"], Rn)
             cum32 = jnp.cumsum(R.block32_counts(vm).astype(I64))
-            m = cum32[-1]
+            m = self._madd(cum32[-1])
             if not p["int_percents"]:
                 return {"m": m, "cum32": cum32,
                         "vmask_perm": vm.astype(jnp.int8)}
@@ -1137,6 +1185,14 @@ class Program:
                 lo = num // 100
                 hi = jnp.minimum(lo + 1, ms)
                 ranks.extend([lo, hi])
+            if p.get("bisect"):
+                planes = {k: arrays[p["prefix"] + k]
+                          for k in (("sv0",) if p["narrow"]
+                                    else ("sv0", "sv1"))}
+                vals = _bisect_select_values(
+                    planes, vm.astype(jnp.int8), cum32,
+                    jnp.stack(ranks), p, self._madd)
+                return {"m": m, "vals": vals}
             rows = _rank_select_rows(cum32, vm.astype(jnp.int8),
                                      jnp.stack(ranks))
             return {"m": m, "rows": rows}
@@ -1232,7 +1288,7 @@ class Program:
         """Shared prefix-mode sub-agg evaluation (terms + large histograms):
         per-bucket exact sums/counts from permuted payload planes."""
         prefix = p["prefix"]
-        bounds32 = arrays[prefix + "bounds32"]
+        bounds32 = self._local_bounds32(arrays, prefix)
         sub_out = {}
         for name, sub in node.sub_aggs:
             if isinstance(sub, A.CountAgg):
@@ -1244,11 +1300,12 @@ class Program:
             planes = [arrays[prefix + f"pay:{g}:s{i}"] for i in range(L)]
             if colg.multi:
                 cnt_rows = arrays[prefix + f"pay:{g}:cnt"]
-                gcnt = R.prefix_diff(R.block32_sums(cnt_rows, vm), bounds32)
+                gcnt = self._madd(
+                    R.prefix_diff(R.block32_sums(cnt_rows, vm), bounds32))
             else:
                 gcnt = counts
             sums = jnp.stack(
-                [R.prefix_diff(R.block32_sums(pl, vm), bounds32)
+                [self._madd(R.prefix_diff(R.block32_sums(pl, vm), bounds32))
                  for pl in planes], axis=-1)
             if len(planes) == 1 and not colg.multi and colg.sum_direct:
                 sub_out[name] = {"cnt": gcnt, "sum": sums[:, 0]}
@@ -1262,11 +1319,11 @@ class Program:
         col = self._col(field)
         if p["mode"] == "prefix":
             prefix = p["prefix"]
-            layout = p["layout"]
             vm = self._perm_mask(ctx.chain, params, arrays, prefix,
-                                 layout.n_rows)
-            bounds32 = arrays[prefix + "bounds32"]
-            counts = R.prefix_diff(R.block32_counts(vm), bounds32)
+                                 arrays[prefix + "lvalid"].shape[0])
+            bounds32 = self._local_bounds32(arrays, prefix)
+            counts = self._madd(
+                R.prefix_diff(R.block32_counts(vm), bounds32))
             out = {"counts": counts}
             out.update(self._prefix_bucket_outputs(node, arrays, p, counts,
                                                    vm))
@@ -1537,13 +1594,20 @@ class Program:
         return Program._gather_top(c2, top_ids, sub_out, anc_flat, card,
                                    keff)
 
+    def _local_bounds32(self, arrays, prefix):
+        """This shard's bucket bounds: sharded layouts register [D, card+1]
+        (axis 0 over 'd'), so inside shard_map the local slice is
+        [1, card+1] — flatten it back to [card+1]."""
+        b = arrays[prefix + "bounds32"]
+        return b.reshape(-1) if b.ndim == 2 else b
+
     def _eval_terms_prefix(self, node, ctx, params, arrays, path, p):
         prefix = p["prefix"]
-        layout = p["layout"]
         vm = self._perm_mask(ctx.chain, params, arrays, prefix,
-                             layout.n_rows)
-        counts = R.prefix_diff(R.block32_counts(vm),
-                               arrays[prefix + "bounds32"])
+                             arrays[prefix + "lvalid"].shape[0])
+        counts = self._madd(R.prefix_diff(R.block32_counts(vm),
+                                          self._local_bounds32(arrays,
+                                                               prefix)))
         sub_out = self._prefix_bucket_outputs(node, arrays, p, counts, vm)
         return self._terms_select_traced(p, counts, sub_out, 1)
 
@@ -1637,7 +1701,9 @@ class Program:
             if isinstance(node, A.PercentilesAgg):
                 p = self.plan[path]
                 keep(path, "m", r["m"])
-                if "rows" in r:
+                if "vals" in r:
+                    keep(path, "vals", r["vals"])
+                elif "rows" in r:
                     keep(path, "rows", r["rows"])
                 elif p["pmode"] == "slot_rank":
                     bigs["/".join(path)] = (r["cum"], r["vm"], r["slot"])
@@ -1850,6 +1916,20 @@ class Program:
         if m == 0:
             return {"values": {str(q): None for q in node.percents}}
         if p["pmode"] == "rank" and p.get("int_percents"):
+            if p.get("bisect"):
+                # cross-shard bisection emitted the selected VALUES directly
+                # (narrow: w domain; wide: rm domain)
+                vals = np.asarray(raw["vals"])
+                out = {}
+                for i, q in enumerate(node.percents):
+                    _, _, frac = exact.percentile_rank(q, m)
+                    v_lo = self._user_scalar(
+                        ftype, self._mono_from_mm(p, vals[2 * i]))
+                    v_hi = self._user_scalar(
+                        ftype, self._mono_from_mm(p, vals[2 * i + 1]))
+                    out[str(q)] = exact.interpolate(float(v_lo), float(v_hi),
+                                                    frac)
+                return {"values": out}
             rows = np.asarray(raw["rows"])
             out = {}
             for i, q in enumerate(node.percents):
@@ -2005,6 +2085,120 @@ class Program:
 @jax.jit
 def _take(a, idx):
     return a[idx]
+
+
+# ---------------------------------------------------------------------------
+# Cross-shard bisection rank selection (sharded percentiles fast path)
+#
+# Replaces the all-gather + full-sort fallback (SURVEY.md §3.5 / VERDICT r1
+# #7): each shard holds a STATIC value-sorted view of its own rows
+# (index/loader.py value_layout, per-shard chunks), the query mask reduces
+# to a per-shard 32-block matched-count prefix, and the rank-r value is
+# found by bisecting the VALUE DOMAIN — count(x) = psum over shards of
+# "masked rows with value <= x", each a binary search over the shard's
+# sorted plane plus one prefix lookup. Per query: one local cumsum (the
+# only O(rows) work) + ~31/64 iterations of tiny gathers and one [K]-vector
+# psum each. Exact for any mask; no cross-chip value traffic at all.
+# ---------------------------------------------------------------------------
+
+def _mcount_at(cum32, vm8, posn):
+    """Matched rows among the first `posn` permuted rows (posn in [0, R]).
+    cum32: [R/32] inclusive int64 per-32-block matched-count prefix."""
+    nblk = vm8.shape[0] // 32
+    blk = jnp.minimum(posn // 32, nblk - 1)
+    base = jnp.where(blk > 0, cum32[jnp.maximum(blk - 1, 0)], 0)
+    win = jax.lax.dynamic_slice(vm8, ((blk * 32).astype(I32),), (32,))
+    extra = posn - blk * 32  # in [0, 32]
+    inner = jnp.sum(jnp.where(jnp.arange(32) < extra, win, 0).astype(I64))
+    return base + inner
+
+
+def _ss_right(plane, x, lo, hi):
+    """Rightmost binary search over an ascending int32 plane restricted to
+    positions [lo, hi): the absolute end position after every row in
+    [lo, hi) with plane[r] <= x. x is int64 (no wraparound at the int32
+    domain edges); fixed trip count (static R)."""
+    iters = max(1, int(plane.shape[0]).bit_length())
+
+    def body(_, lh):
+        l, h = lh
+        mid = (l + h) // 2
+        v = plane[jnp.minimum(mid, plane.shape[0] - 1).astype(I32)]
+        pred = (v.astype(I64) <= x) & (mid < h)
+        return (jnp.where(pred, mid + 1, l), jnp.where(pred, h, mid))
+
+    l, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return l
+
+
+def _bisect_values(count_of, t, dom_lo: int, dom_hi: int):
+    """Smallest x in [dom_lo, dom_hi] with count_of(x) >= t, for a vector of
+    targets t [K]. count_of maps [K] int64 values -> [K] int64 GLOBAL counts
+    (monotone in x). Static trip count from the domain width."""
+    width = dom_hi - dom_lo
+    iters = max(1, int(width).bit_length())
+    lo0 = jnp.full_like(t, dom_lo)
+    hi0 = jnp.full_like(t, dom_hi)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = lo + (hi - lo) // 2  # domain widths are < 2^63: no overflow
+        ge = count_of(mid) >= t
+        return (jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi))
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    return lo
+
+
+def _bisect_select_values(planes, vm8, cum32, ranks, p, madd):
+    """Selected values for 0-based ranks [K] over the per-shard value-sorted
+    layout. Returns int64 [K]: narrow columns in the w domain, wide columns
+    in the rm domain (both as _mono_from_mm expects). Garbage when the
+    global match count is 0 (harvest gates on m == 0)."""
+    Rn = vm8.shape[0]
+    t = ranks + 1
+
+    def local_le_plane(plane, x):  # [K] masked local counts of value <= x
+        def one(xi):
+            return _mcount_at(cum32, vm8,
+                              _ss_right(plane, xi, jnp.int64(0),
+                                        jnp.int64(Rn)))
+        return jax.vmap(one)(x)
+
+    if p["narrow"]:
+        span = int(p["span"])
+        w = _bisect_values(
+            lambda x: madd(local_le_plane(planes["sv0"], x)),
+            t, 0, span)
+        return w
+
+    # wide: lexicographic (hi, lo) — phase A selects the hi plane value,
+    # phase B selects lo within the (contiguous) hi == h* row range
+    svh, svl = planes["sv0"], planes["sv1"]
+    hi_max = (int(p["span"]) >> 32) - 2**31
+    h = _bisect_values(
+        lambda x: madd(local_le_plane(svh, x)),
+        t, -(2**31), hi_max)
+
+    def local_range(hx):  # per-rank local [a, b) bounds of rows with hi==h*
+        def one(hxi):
+            b = _ss_right(svh, hxi, jnp.int64(0), jnp.int64(Rn))
+            a = _ss_right(svh, hxi - 1, jnp.int64(0), jnp.int64(Rn))
+            return a, b
+        return jax.vmap(one)(hx)
+
+    a, b = local_range(h)
+    gmc_a = madd(jax.vmap(lambda ai: _mcount_at(cum32, vm8, ai))(a))
+    t2 = t - gmc_a  # rank within the hi == h* candidate rows
+
+    def count_lo(x):
+        def one(ai, bi, xi):
+            pos = _ss_right(svl, xi, ai, bi)
+            return _mcount_at(cum32, vm8, pos)
+        return madd(jax.vmap(one)(a, b, x)) - gmc_a
+
+    l = _bisect_values(count_lo, t2, -(2**31), 2**31 - 1)
+    return (h << 32) + (l + 2**31)  # rm domain (matches wide_recon)
 
 
 def _rank_select_rows(cum32, vmask_perm, ranks):

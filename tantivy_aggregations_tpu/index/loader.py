@@ -287,37 +287,60 @@ class DeviceColumn:
         return self._bucket_layout
 
     def value_layout(self) -> OrderedLayout:
-        """Rows sorted by value (mono order), for rank-selection percentiles
-        (unsharded path)."""
+        """Rows sorted by value (mono order) for rank-selection percentiles.
+        Sharded meshes sort PER SHARD chunk (the permutation never crosses
+        shard boundaries); rank selection then runs as a cross-shard
+        bisection over the static value domain (aggs/compile.py
+        _eval_percentiles, pmode 'rank' + 'bisect')."""
         if self._value_layout is None:
             m = self._host_mono
             valid = self._host_valid
             key = m.copy()
             if valid is not None:
                 key = np.where(valid, key, np.iinfo(np.int64).max)
-            perm = np.argsort(key, kind="stable").astype(I32)
-            n = len(perm)
-            R = _pad_to(n, PAD_BLOCK)
-            perm_p = np.zeros(R, I32)
-            perm_p[:n] = perm
-            vp = np.zeros(R, np.int8)
-            nvalid = int(valid.sum()) if valid is not None else n
-            vp[:n] = 1 if valid is None else valid[perm].astype(np.int8)
-            self._value_layout = OrderedLayout(
-                perm=perm_p, n_rows=R,
-                valid_perm=_put(vp, self._mesh, 1),
-                sorted_mono=key[perm],
-                sorted_mono_dev=None)
+            D = _mesh_D(self._mesh)
+            n = key.shape[0]
+            if D == 1:
+                perm = np.argsort(key, kind="stable").astype(I32)
+                R = _pad_to(n, PAD_BLOCK)
+                perm_p = np.zeros(R, I32)
+                perm_p[:n] = perm
+                vp = np.zeros(R, np.int8)
+                vp[:n] = 1 if valid is None else valid[perm].astype(np.int8)
+                self._value_layout = OrderedLayout(
+                    perm=perm_p, n_rows=R,
+                    valid_perm=_put(vp, self._mesh, 1),
+                    sorted_mono=key[perm],
+                    sorted_mono_dev=None)
+            else:
+                # dense single-valued columns only (plan-gated): n == T,
+                # already a multiple of PAD_BLOCK * D
+                chunk = n // D
+                perm = np.concatenate([
+                    s * chunk + np.argsort(key[s * chunk:(s + 1) * chunk],
+                                           kind="stable")
+                    for s in range(D)]).astype(I32)
+                vp = (np.ones(n, np.int8) if valid is None
+                      else valid[perm].astype(np.int8))
+                self._value_layout = OrderedLayout(
+                    perm=perm, n_rows=n,
+                    valid_perm=_put(vp, self._mesh, 1),
+                    sorted_mono=key[perm],
+                    sorted_mono_dev=None)
         return self._value_layout
 
 
-def _build_bucket_layout(ids: np.ndarray, card: int, mesh) -> OrderedLayout:
-    """Sort row indices by id; pad each bucket to a 32-row multiple so every
-    bucket boundary is 32-aligned (coarse prefix sums then resolve bounds
-    exactly). Rows with id < 0 (missing) are excluded via valid=0."""
+def _mesh_D(mesh) -> int:
+    return 1 if mesh is None else int(np.prod(mesh.devices.shape))
+
+
+def _bucket_layout_chunk(ids: np.ndarray, card: int):
+    """One shard's (perm positions, bounds) for a bucket-sorted layout:
+    local row indices sorted by id, each bucket padded to a 32-row multiple
+    so every bucket boundary is 32-aligned. Rows with id < 0 (missing) are
+    excluded. Returns (local_perm_src, local_pos, bounds_raw[card+1])."""
     order = np.argsort(ids, kind="stable").astype(np.int64)
     sorted_ids = ids[order]
-    # drop missing (-1) rows: they sort first
     start = int(np.searchsorted(sorted_ids, 0))
     order = order[start:]
     sorted_ids = sorted_ids[start:]
@@ -326,17 +349,51 @@ def _build_bucket_layout(ids: np.ndarray, card: int, mesh) -> OrderedLayout:
     padded = ((counts + ALIGN - 1) // ALIGN) * ALIGN
     bounds = np.zeros(card + 1, np.int64)
     np.cumsum(padded, out=bounds[1:])
-    R = _pad_to(int(bounds[-1]), PAD_BLOCK)
-    perm = np.zeros(R, I32)
-    valid = np.zeros(R, np.int8)
     src_off = np.zeros(card + 1, np.int64)
     np.cumsum(counts, out=src_off[1:])
-    # place each bucket's rows at its padded offset
     pos = np.repeat(bounds[:-1], counts) + (
         np.arange(len(order)) - np.repeat(src_off[:-1], counts))
-    perm[pos] = order.astype(I32)
-    valid[pos] = 1
-    return OrderedLayout(perm=perm, n_rows=R,
+    return order, pos, bounds
+
+
+def _build_bucket_layout(ids: np.ndarray, card: int, mesh) -> OrderedLayout:
+    """Sort row indices by id with 32-aligned bucket boundaries (coarse
+    prefix sums then resolve bounds exactly).
+
+    Sharded meshes get a PER-SHARD layout (SURVEY.md §3.5 / VERDICT r1 #7):
+    each shard's contiguous doc chunk is sorted independently, so the
+    permutation never crosses shard boundaries — permuted planes shard over
+    'd' like any doc-aligned column, per-bucket partials reduce shard-
+    locally via the same 32-block prefix machinery, and ONE psum over the
+    [card] partial vector is the only cross-chip traffic per bucket agg.
+    `bounds` is [card+1] (unsharded) or [D, card+1] (per-shard local
+    offsets, sharded over axis 0)."""
+    D = _mesh_D(mesh)
+    if D == 1:
+        order, pos, bounds = _bucket_layout_chunk(ids, card)
+        R = _pad_to(int(bounds[-1]), PAD_BLOCK)
+        perm = np.zeros(R, I32)
+        valid = np.zeros(R, np.int8)
+        perm[pos] = order.astype(I32)
+        valid[pos] = 1
+        return OrderedLayout(perm=perm, n_rows=R,
+                             bounds=(bounds // ALIGN).astype(I32),
+                             valid_perm=_put(valid, mesh, 1))
+    T = ids.shape[0]
+    chunk = T // D
+    parts = [_bucket_layout_chunk(ids[s * chunk:(s + 1) * chunk], card)
+             for s in range(D)]
+    # worst-case per-bucket ALIGN padding: chunk + card*ALIGN rows suffice
+    # for every shard, so one static local length keeps shards rectangular
+    R_loc = _pad_to(max(int(b[-1]) for _, _, b in parts), PAD_BLOCK)
+    perm = np.zeros(D * R_loc, I32)
+    valid = np.zeros(D * R_loc, np.int8)
+    bounds = np.zeros((D, card + 1), np.int64)
+    for s, (order, pos, b) in enumerate(parts):
+        perm[s * R_loc + pos] = (order + s * chunk).astype(I32)
+        valid[s * R_loc + pos] = 1
+        bounds[s] = b
+    return OrderedLayout(perm=perm, n_rows=D * R_loc,
                          bounds=(bounds // ALIGN).astype(I32),
                          valid_perm=_put(valid, mesh, 1))
 

@@ -8,8 +8,9 @@ Formulations are chosen from measured behavior of this TPU's XLA:
   10M-row axis);
 - scatter, gather-by-10M-indices, big sorts and big cumsums are
   catastrophically slow (hundreds of ms) — every hot path below avoids
-  them; the slow forms survive only as `slot_*` fallbacks for the sharded
-  mesh path (XLA:CPU executes them well) and rare agg shapes.
+  them; the slow forms survive only as `slot_*` fallbacks for rare agg
+  shapes (sharded meshes run the same prefix/rank fast paths as one chip:
+  per-shard OrderedLayouts + psum'd partials).
 
 Core tricks:
 - **Two-stage exact sums** (`ts_sum_plane`): split each int32 addend at bit

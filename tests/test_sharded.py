@@ -93,3 +93,89 @@ def test_mesh_sizes(n_dev):
         "n": count_agg(), "s": sum_agg("price"),
         "t": terms_agg("tags", size=3),
     })
+
+
+# ---------------------------------------------------------------------------
+# Sharded FAST paths (SURVEY.md §3.5 / VERDICT r1 #7): high-cardinality
+# terms and large histograms must run PREFIX mode on a mesh (per-shard
+# OrderedLayouts, psum'd per-bucket partials — no scatter), and integer-
+# percent percentiles must run the cross-shard bisection RANK path (no
+# all-gather + sort). Results stay bit-identical to the oracle.
+# ---------------------------------------------------------------------------
+
+def test_sharded_highcard_terms_prefix(mesh):
+    idx = random_index(11, n_docs=900, n_segments=3, card=600)
+    aggs = {"t": terms_agg("cat", size=7,
+                           sub_aggs={"s": sum_agg("qty"), "n": count_agg(),
+                                     "a": avg_agg("price")})}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    assert prog.plan[("a", "t")]["mode"] == "prefix"
+    for q in [MatchAllQuery(), RangeQuery("qty", lower=100, upper=800),
+              BooleanQuery(must=[RangeQuery("delta", lower=-250)],
+                           must_not=[TermQuery("cat", "cat0001")])]:
+        got = s.agg_search(q, aggs)
+        want = idx.oracle_searcher().agg_search(q, aggs)
+        assert got == want, f"\nsharded: {got}\noracle:  {want}"
+
+
+def test_sharded_large_histogram_prefix(mesh):
+    idx = random_index(12, n_docs=700, n_segments=2)
+    aggs = {"h": histogram_agg("qty", interval=2,
+                               sub_aggs={"s": sum_agg("price"),
+                                         "n": count_agg()})}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    assert prog.plan[("a", "h")]["mode"] == "prefix"
+    assert prog.plan[("a", "h")]["nb"] > 256
+    for q in [MatchAllQuery(), RangeQuery("delta", lower=0)]:
+        got = s.agg_search(q, aggs)
+        want = idx.oracle_searcher().agg_search(q, aggs)
+        assert got == want, f"\nsharded: {got}\noracle:  {want}"
+
+
+def test_sharded_percentiles_bisect(mesh):
+    idx = random_index(13, n_docs=800, n_segments=3)
+    # qty: narrow u64; price: wide (f64 mono span) — both bisection paths
+    aggs = {"pq": percentiles_agg("qty"),
+            "pp": percentiles_agg("price"),
+            "pd": percentiles_agg("delta", percents=(0, 10, 50, 90, 100))}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    for k in ("pq", "pp", "pd"):
+        assert prog.plan[("a", k)]["pmode"] == "rank", k
+        assert prog.plan[("a", k)]["bisect"], k
+    for q in [MatchAllQuery(),
+              RangeQuery("qty", lower=10, upper=990),
+              TermQuery("cat", "cat0003"),
+              # empty result: every percentile must be None on both sides
+              RangeQuery("qty", lower=5000)]:
+        got = s.agg_search(q, aggs)
+        want = idx.oracle_searcher().agg_search(q, aggs)
+        assert got == want, f"\nsharded: {got}\noracle:  {want}"
+
+
+def test_sharded_bisect_duplicates_and_edges(mesh):
+    """Heavy duplicates + span edges: bisection must land on exact values
+    (ties across shards, min/max ranks at 0/100)."""
+    from tantivy_aggregations_tpu import SchemaBuilder, Index
+    sch = SchemaBuilder().add_u64_field("v").add_i64_field("w").build()
+    idx = Index.create_in_ram(sch)
+    w = idx.writer()
+    vals = [0, 0, 0, 7, 7, 2**33, 2**33, 2**33, 2**40, 1]
+    for i, v in enumerate(vals):
+        w.add_document({"v": v, "w": (-1) ** i * v})
+        if i == 4:
+            w.commit()
+    w.commit()
+    aggs = {"pv": percentiles_agg("v", percents=(0, 25, 50, 75, 100)),
+            "pw": percentiles_agg("w", percents=(0, 25, 50, 75, 100))}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    assert prog.plan[("a", "pv")]["bisect"]
+    assert not prog.plan[("a", "pv")]["narrow"]  # span 2^40: wide path
+    for q in [MatchAllQuery(), RangeQuery("v", upper=2**33,
+                                          include_upper=True)]:
+        got = s.agg_search(q, aggs)
+        want = idx.oracle_searcher().agg_search(q, aggs)
+        assert got == want, f"\nsharded: {got}\noracle:  {want}"
