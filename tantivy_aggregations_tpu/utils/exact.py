@@ -234,6 +234,17 @@ def percentile_rank(p: float, m: int) -> Tuple[int, int, float]:
     """
     if m <= 0:
         raise ValueError("no values")
+    pi = int(p)
+    if pi == p:
+        # integer percents (the ES defaults; also the serving hot path —
+        # host harvest runs this per percent per query): pure int
+        # arithmetic. rem/100 is the correctly rounded f64 of the exact
+        # rational, i.e. identical to float(Fraction(rem, 100)).
+        num = pi * (m - 1)
+        lo = num // 100
+        lo = max(0, min(lo, m - 1))
+        hi = min(lo + 1, m - 1)
+        return lo, hi, (num - 100 * lo) / 100
     r = Fraction(p) * (m - 1) / 100
     lo = int(r // 1)
     lo = max(0, min(lo, m - 1))

@@ -25,6 +25,8 @@ only ever sees int64 mono values.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 _SIGN = np.uint64(0x8000000000000000)
@@ -108,13 +110,24 @@ def scalar_to_mono(type_value: str, v) -> int:
     return int(_TO_MONO[type_value](arr)[0])
 
 
+_U64_MASK = (1 << 64) - 1
+_SIGN_INT = 1 << 63
+
+
 def scalar_from_mono(type_value: str, m: int):
-    out = _FROM_MONO[type_value](np.asarray([m], dtype=np.int64))[0]
-    if type_value in ("u64", "date"):
-        return int(out)
+    """Pure-Python scalar inverse of the mono maps (bit-identical to the
+    NumPy array forms above; per-scalar np round-trips measured ~8us each
+    on the host harvest hot path, this is ~0.3us)."""
+    m = int(m)
     if type_value == "i64":
-        return int(out)
-    return float(out)
+        return m
+    if type_value in ("u64", "date"):
+        return (m + _SIGN_INT) & _U64_MASK  # == m.view(u64) ^ SIGN
+    if type_value == "f64":
+        u = m & _U64_MASK
+        bits = (~(u ^ _SIGN_INT)) & _U64_MASK if (u & _SIGN_INT) else u
+        return struct.unpack("<d", bits.to_bytes(8, "little"))[0]
+    raise ValueError(type_value)
 
 
 #: mono value that sorts after every real value (int64 max); used to pad
