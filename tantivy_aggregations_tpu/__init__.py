@@ -47,6 +47,7 @@ from .query.ir import (  # noqa: E402
     RangeQuery,
     BooleanQuery,
     ExistsQuery,
+    PrefixQuery,
 )
 from .aggs.ir import (  # noqa: E402
     count_agg,
@@ -85,6 +86,7 @@ __all__ = [
     "RangeQuery",
     "BooleanQuery",
     "ExistsQuery",
+    "PrefixQuery",
     "count_agg",
     "sum_agg",
     "min_agg",

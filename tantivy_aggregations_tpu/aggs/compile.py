@@ -134,8 +134,22 @@ class Program:
             from jax.sharding import PartitionSpec as P
             arr_specs = {k: P("d", *([None] * (v.ndim - 1)))
                          for k, v in self._arrays.items()}
+            # packed fruits are replicated (psum/all-gather merged); the
+            # only per-shard outputs are non-integer-percent percentile
+            # prefix intermediates (cum32, vmask_perm), resolved by the
+            # phase-2 cross-shard bisection
+            big_specs = {}
+            for path, pp in self.plan.items():
+                if not (isinstance(pp, dict)
+                        and pp.get("kind") == "percentiles"):
+                    continue
+                if pp["pmode"] == "rank" and not pp["int_percents"]:
+                    big_specs["/".join(path)] = (P("d"), P("d"))
+                elif pp["pmode"] == "sort":
+                    big_specs["/".join(path)] = P()
             fn = jax.shard_map(fn, mesh=dindex.mesh,
-                               in_specs=(P(), arr_specs), out_specs=P(),
+                               in_specs=(P(), arr_specs),
+                               out_specs={"packed": P(), "big": big_specs},
                                check_vma=False)
         self.raw_fn = fn
         self._fn = jax.jit(fn)
@@ -239,7 +253,12 @@ class Program:
                     ranks = jnp.asarray(rk, I64)  # [Bpad, 2P]
                 if p["pmode"] == "rank":
                     cum32, vm = dev
-                    gathers[path] = jax.vmap(_rank_select)(cum32, vm, ranks)
+                    if p.get("bisect"):
+                        fn, planes = self._bisect_phase2(path, p, True)
+                        gathers[path] = fn(cum32, vm, ranks, planes)
+                    else:
+                        gathers[path] = jax.vmap(_rank_select)(cum32, vm,
+                                                               ranks)
                 else:
                     gathers[path] = jax.vmap(
                         lambda a, i: a[i])(dev, ranks.astype(I32))
@@ -309,7 +328,8 @@ class Program:
         if isinstance(q, Q.BooleanQuery):
             for c in (*q.must, *q.should, *q.must_not):
                 self._collect_query_arrays(c)
-        elif isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.ExistsQuery)):
+        elif isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery,
+                            Q.ExistsQuery)):
             self._need_col_planes(self._col(q.field))
 
     def _chain_fields(self, chain):
@@ -595,14 +615,15 @@ class Program:
                                       bucket_fields=bucket_fields)
             self.plan[path] = p
             return
-        int_p = all(float(q).is_integer() for q in node.percents)
-        if (not col.multi and self._chain_is_dense(chain)
-                and (not self._sharded or int_p)):
+        if not col.multi and self._chain_is_dense(chain):
             p["pmode"] = "rank"
             # integer percents (incl. the ES defaults) resolve ranks inside
             # the main program: no big intermediates leave the device and no
-            # second transfer round is needed
-            p["int_percents"] = int_p
+            # second transfer round is needed. Non-integer percents resolve
+            # ranks host-side (exact rationals) in a second phase over the
+            # per-shard prefix intermediates.
+            p["int_percents"] = all(float(q).is_integer()
+                                    for q in node.percents)
             layout = col.value_layout()
             p["layout"] = layout
             prefix = f"VL:{node.field}#"
@@ -616,9 +637,6 @@ class Program:
             if p["bisect"]:
                 self._need_sorted_value_planes(col, layout, prefix)
         else:
-            # sharded + non-integer percents: host rank arithmetic needs a
-            # second phase over per-shard intermediates; the sort fallback
-            # stays exact (all-gather + sort — off the fast path by design)
             p["pmode"] = "sort"
             self._need_col_planes(col)
         self.plan[path] = p
@@ -626,6 +644,26 @@ class Program:
     def _hist_layout(self, col, node):
         if col.n_values == 0:
             return {"hmode": "empty", "k_min": 0, "nb": 1}
+        if getattr(node, "calendar", None):
+            # calendar intervals (beyond-reference, utils/calendar.py):
+            # static period boundaries over the column's [min, max] -> the
+            # same "bounds" machinery as f64 histograms; bucket keys are
+            # the period starts themselves
+            from ..utils import calendar as cal
+            lo = mono_mod.scalar_from_mono("date", col.min_mono)
+            hi = mono_mod.scalar_from_mono("date", col.max_mono)
+            keys, inner = cal.calendar_layout(node.calendar, lo, hi)
+            nb = len(keys)
+            if nb > MAX_HIST_NB:
+                raise ValueError(
+                    f"calendar histogram would span {nb} buckets")
+            # rm domain: rm = (mono - min_mono) - 2^63; boundary micros b ->
+            # mono = b - 2^63 (the u64->mono shift)
+            rb = [_wrap64(((int(b) - 2**63) - col.min_mono) - 2**63)
+                  for b in inner]
+            return {"hmode": "bounds", "k_min": 0, "nb": nb,
+                    "rbounds": np.asarray(rb, np.int64),
+                    "keys": np.asarray(keys, np.int64)}
         if col.ftype == FieldType.F64:
             lo = mono_mod.scalar_from_mono("f64", col.min_mono)
             hi = mono_mod.scalar_from_mono("f64", col.max_mono)
@@ -694,7 +732,8 @@ class Program:
         if tflat * nb >= 2**31:
             raise ValueError("composite bucket slot space exceeds 2^31")
         # precomputed per-row bucket ids (host-exact, device-cached)
-        bid_key = f"{node.field}:bid:{node.interval}:{node.offset}"
+        bid_key = (f"{node.field}:bid:cal:{node.calendar}" if node.calendar
+                   else f"{node.field}:bid:{node.interval}:{node.offset}")
         bid_host = self._host_bucket_ids(col, p)
         self._need(bid_key, col.bucket_id_plane(bid_key, lambda: bid_host))
         p["bid_key"] = bid_key
@@ -1772,6 +1811,38 @@ class Program:
                 ranks[s, 2 * i], ranks[s, 2 * i + 1] = lo, hi
         return ranks
 
+    def _bisect_phase2(self, path, p, batched: bool):
+        """Jitted cross-shard bisection select for phase-2 (non-integer
+        percents): host-resolved ranks + per-shard (cum32, vmask) prefix
+        intermediates -> selected values, replicated. `batched` adds a
+        leading msearch batch axis on (cum32, vm, ranks)."""
+        cache = self.__dict__.setdefault("_phase2_cache", {})
+        key = (path, batched)
+        if key not in cache:
+            from jax.sharding import PartitionSpec as P
+            keys = ("sv0",) if p["narrow"] else ("sv0", "sv1")
+
+            def one(cum32, vm8, ranks, planes):
+                with jax.enable_x64(True):
+                    return _bisect_select_values(
+                        planes, vm8, cum32, ranks, p,
+                        lambda x: jax.lax.psum(x, "d"))
+
+            if batched:
+                def f(c, v, r, pl):
+                    return jax.vmap(
+                        lambda cb, vb, rb: one(cb, vb, rb, pl))(c, v, r)
+                in_specs = (P(None, "d"), P(None, "d"), P(),
+                            {k: P("d") for k in keys})
+            else:
+                f = one
+                in_specs = (P("d"), P("d"), P(), {k: P("d") for k in keys})
+            fn = jax.shard_map(f, mesh=self.dindex.mesh, in_specs=in_specs,
+                               out_specs=P(), check_vma=False)
+            cache[key] = (jax.jit(fn),
+                          {k: self._arrays[p["prefix"] + k] for k in keys})
+        return cache[key]
+
     def percentile_gathers(self, host, big):
         gathers = {}
         for path, dev in big.items():
@@ -1798,7 +1869,11 @@ class Program:
                 cum32, vm = dev
                 with jax.enable_x64(True):
                     rarr = jnp.asarray(ranks, I64)
-                gathers[path] = _rank_select(cum32, vm, rarr)
+                if p.get("bisect"):
+                    fn, planes = self._bisect_phase2(path, p, False)
+                    gathers[path] = fn(cum32, vm, rarr, planes)
+                else:
+                    gathers[path] = _rank_select(cum32, vm, rarr)
             else:
                 gathers[path] = _take(dev, jnp.asarray(ranks, I32))
         return gathers
@@ -1945,10 +2020,10 @@ class Program:
         fracs = raw["_fracs"]
         out = {}
         for i, q in enumerate(node.percents):
-            if p["pmode"] == "rank":
+            if p["pmode"] == "rank" and not p.get("bisect"):
                 lo_mono = int(p["layout"].sorted_mono[int(got[2 * i])])
                 hi_mono = int(p["layout"].sorted_mono[int(got[2 * i + 1])])
-            else:  # sort path emitted rm (wide) or w (narrow) values
+            else:  # sort / bisect paths emitted rm (wide) or w (narrow) values
                 def to_mono(v):
                     w = int(v) if p["narrow"] else int(v) + 2**63
                     return _wrap64(p["min_mono"] + w)
@@ -1972,7 +2047,9 @@ class Program:
             if c == 0:
                 continue
             k = k_min + j
-            if ftype == FieldType.F64:
+            if "keys" in p:  # calendar: keys ARE the period-start micros
+                key = int(p["keys"][k])
+            elif ftype == FieldType.F64:
                 key = exact.f64_histogram_key(k, float(node.interval),
                                               float(node.offset))
             else:

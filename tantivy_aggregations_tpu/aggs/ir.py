@@ -88,18 +88,26 @@ class PercentilesAgg(Agg):
 @dataclass(frozen=True)
 class HistogramAgg(Agg):
     """Fixed-interval histogram: key_index(v) = floor((v-offset)/interval),
-    exact; only non-empty buckets emitted, keys ascending (§A.5). C9."""
+    exact; only non-empty buckets emitted, keys ascending (§A.5). C9.
+
+    `calendar` in {"month", "quarter", "year"} switches to ES-style
+    calendar bucketing on a date field (bucket key = UTC period start in
+    micros; utils/calendar.py defines the shared spec); interval/offset are
+    ignored then. Beyond-reference extension."""
 
     field: str
     interval: Union[int, float]
     offset: Union[int, float] = 0
     sub_aggs: Tuple[Tuple[str, Agg], ...] = ()
+    calendar: Optional[str] = None
 
-    def __init__(self, field, interval, offset=0, sub_aggs=None):
+    def __init__(self, field, interval, offset=0, sub_aggs=None,
+                 calendar=None):
         object.__setattr__(self, "field", field)
         object.__setattr__(self, "interval", interval)
         object.__setattr__(self, "offset", offset)
         object.__setattr__(self, "sub_aggs", _freeze_subs(sub_aggs))
+        object.__setattr__(self, "calendar", calendar)
 
 
 @dataclass(frozen=True)
@@ -198,9 +206,27 @@ def histogram_agg(field: str, interval, offset=0, sub_aggs=None) -> HistogramAgg
     return HistogramAgg(field, interval, offset, sub_aggs)
 
 
-def date_histogram_agg(field: str, interval_micros: int, offset: int = 0,
-                       sub_aggs=None) -> HistogramAgg:
-    """Date histogram == integer histogram over microsecond timestamps."""
+def date_histogram_agg(field: str, interval_micros: int = 0, offset: int = 0,
+                       sub_aggs=None, calendar_interval: str = None
+                       ) -> HistogramAgg:
+    """Date histogram == integer histogram over microsecond timestamps.
+
+    `calendar_interval` (ES-style, beyond the reference's fixed intervals):
+    minute/hour/day lower to fixed micros; week lowers to a 7-day interval
+    anchored on Monday; month/quarter/year use true calendar boundaries
+    (utils/calendar.py). With a calendar_interval, interval_micros/offset
+    are ignored."""
+    if calendar_interval is not None:
+        from ..utils import calendar as cal
+        ci = str(calendar_interval)
+        if ci in cal.FIXED_MICROS:
+            return HistogramAgg(field, cal.FIXED_MICROS[ci], 0, sub_aggs)
+        if ci == "week":
+            return HistogramAgg(field, 7 * cal.DAY_MICROS,
+                                cal.WEEK_OFFSET_MICROS, sub_aggs)
+        if ci in cal.CALENDAR_INTERVALS:
+            return HistogramAgg(field, 0, 0, sub_aggs, calendar=ci)
+        raise ValueError(f"unknown calendar_interval {calendar_interval!r}")
     return HistogramAgg(field, int(interval_micros), int(offset), sub_aggs)
 
 
@@ -274,7 +300,15 @@ def validate_agg_tree(schema, node) -> None:
         return
     if isinstance(node, HistogramAgg):
         _numeric(node.field, "HistogramAgg")
-        if not (node.interval > 0):
+        if node.calendar is not None:
+            from ..utils import calendar as cal
+            if node.calendar not in cal.CALENDAR_INTERVALS:
+                raise ValueError(
+                    f"calendar interval {node.calendar!r} must be one of "
+                    f"{cal.CALENDAR_INTERVALS}")
+            if schema.field(node.field).type != FieldType.DATE:
+                raise TypeError("calendar histograms require a date field")
+        elif not (node.interval > 0):
             raise ValueError("interval must be > 0")
         for _, sub in node.sub_aggs:
             validate_agg_tree(schema, sub)
@@ -336,6 +370,7 @@ def structural_key(node) -> tuple:
         return ("percentiles", node.field, node.percents)
     if isinstance(node, HistogramAgg):
         return ("histogram", node.field, node.interval, node.offset,
+                node.calendar,
                 tuple((k, structural_key(v)) for k, v in node.sub_aggs))
     if isinstance(node, TermsAgg):
         return ("terms", node.field, node.size, node.order,

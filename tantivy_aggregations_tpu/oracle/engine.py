@@ -43,6 +43,19 @@ class OracleSearcher:
             if fd.offsets is None:
                 return np.ones(seg.max_doc, dtype=bool)
             return np.diff(fd.offsets.astype(np.int64)) > 0
+        if isinstance(q, Q.PrefixQuery):
+            # spec-first (independent of the engine's ordinal-range
+            # lowering): a term matches iff it startswith the prefix
+            entry = self.schema.field(q.field)
+            if not entry.type.is_stringy:
+                raise TypeError(
+                    "prefix query requires a keyword or text field")
+            fd = seg.fields[q.field]
+            tmask = np.asarray([t.startswith(q.prefix) for t in fd.terms],
+                               dtype=bool)
+            hit_vals = (tmask[fd.values] if len(fd.terms)
+                        else np.zeros(fd.values.shape, bool))
+            return self._vals_hit_to_doc_mask(hit_vals, fd, seg)
         if isinstance(q, Q.RangeQuery):
             return self._range_mask(q, seg)
         if isinstance(q, Q.BooleanQuery):
@@ -217,7 +230,7 @@ class OracleSearcher:
                 vmask = mask[doc_of_val]
                 docs = doc_of_val[vmask]
                 vals = fd.values[vmask]
-            keys = self._exact_bucket_keys(ftype, vals, agg.interval, agg.offset)
+            keys = self._exact_bucket_keys(ftype, vals, agg.interval, agg.offset, agg.calendar)
             per_seg_rows.append((seg, docs, keys))
         all_keys = (np.concatenate([k for _, _, k in per_seg_rows])
                     if per_seg_rows else np.zeros(0, dtype=np.int64))
@@ -234,7 +247,7 @@ class OracleSearcher:
                 occ_mask = np.zeros(seg.max_doc, dtype=np.int64)
                 np.add.at(occ_mask, sel_docs, 1)
                 refined.append((seg, occ_mask))
-            b = {"key": self._bucket_key_user(ftype, k, agg.interval, agg.offset),
+            b = {"key": self._bucket_key_user(ftype, k, agg.interval, agg.offset, agg.calendar),
                  "doc_count": doc_count}
             for name, sub in agg.sub_aggs:
                 b[name] = self._run_agg_weighted(sub, refined)
@@ -242,8 +255,15 @@ class OracleSearcher:
         return {"buckets": out_buckets}
 
     def _exact_bucket_keys(self, ftype: FieldType, vals: np.ndarray,
-                           interval, offset) -> np.ndarray:
-        """key index k = floor((v - offset)/interval), exact (§A.5)."""
+                           interval, offset, calendar=None) -> np.ndarray:
+        """key index k = floor((v - offset)/interval), exact (§A.5).
+        Calendar intervals use the period start itself as the key
+        (utils/calendar.py — the shared beyond-reference spec)."""
+        if calendar is not None:
+            from ..utils import calendar as cal
+            ks = [cal.bucket_start_micros(int(v), calendar)
+                  for v in vals.tolist()]
+            return np.asarray(ks, dtype=np.int64)
         if ftype == FieldType.F64:
             ks = [int((Fraction(float(v)) - Fraction(offset)) // Fraction(interval))
                   for v in vals.tolist()]
@@ -255,7 +275,10 @@ class OracleSearcher:
         return np.asarray(ks, dtype=np.int64)
 
     @staticmethod
-    def _bucket_key_user(ftype: FieldType, k: int, interval, offset):
+    def _bucket_key_user(ftype: FieldType, k: int, interval, offset,
+                         calendar=None):
+        if calendar is not None:
+            return int(k)  # calendar keys ARE the period-start micros
         if ftype == FieldType.F64:
             return exact.f64_histogram_key(k, interval, offset)
         return int(offset) + k * int(interval)
@@ -482,7 +505,7 @@ class OracleSearcher:
                 doc_of_val = np.repeat(np.arange(seg.max_doc), reps)
                 docs = np.repeat(doc_of_val, w[doc_of_val])
                 vals = np.repeat(fd.values, w[doc_of_val])
-            keys = self._exact_bucket_keys(ftype, vals, agg.interval, agg.offset)
+            keys = self._exact_bucket_keys(ftype, vals, agg.interval, agg.offset, agg.calendar)
             per_seg_rows.append((seg, docs, keys))
         all_keys = (np.concatenate([k for _, _, k in per_seg_rows])
                     if per_seg_rows else np.zeros(0, dtype=np.int64))
@@ -497,7 +520,7 @@ class OracleSearcher:
                 occ = np.zeros(seg.max_doc, dtype=np.int64)
                 np.add.at(occ, sel_docs, 1)
                 refined.append((seg, occ))
-            b = {"key": self._bucket_key_user(ftype, k, agg.interval, agg.offset),
+            b = {"key": self._bucket_key_user(ftype, k, agg.interval, agg.offset, agg.calendar),
                  "doc_count": doc_count}
             for name, sub in agg.sub_aggs:
                 b[name] = self._run_agg_weighted(sub, refined)

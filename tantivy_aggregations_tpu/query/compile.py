@@ -91,6 +91,25 @@ def _extract(q, dindex, path, out) -> None:
                 out[f"{k}:tl{i}"] = np.int32(lo)
                 out[f"{k}:tv{i}"] = np.int32(1 if w is not None else 0)
         return
+    if isinstance(q, Q.PrefixQuery):
+        entry = dindex.schema.field(q.field)
+        if not entry.type.is_stringy:
+            raise TypeError("prefix query requires a keyword or text field")
+        col = dindex.column(q.field)
+        k = _key(path)
+        # all prefix-extensions form one contiguous run of the sorted term
+        # table: [prefix, successor(prefix)) where the successor increments
+        # the last non-maximal character (carry towards the front)
+        terms = col.terms
+        lo_ord = int(np.searchsorted(terms, str(q.prefix), side="left"))
+        succ = _prefix_successor(str(q.prefix))
+        hi_ord = (int(np.searchsorted(terms, succ, side="left")) - 1
+                  if succ is not None else len(terms) - 1)
+        if len(terms) == 0 or hi_ord < lo_ord:
+            lo_ord, hi_ord = 1, 0  # empty
+        out[k + ":lo"] = np.int32(lo_ord)
+        out[k + ":hi"] = np.int32(max(hi_ord, 0))
+        return
     if isinstance(q, Q.RangeQuery):
         entry = dindex.schema.field(q.field)
         col = dindex.column(q.field)
@@ -157,6 +176,16 @@ def _extract(q, dindex, path, out) -> None:
     raise TypeError(f"unknown query {type(q)!r}")
 
 
+def _prefix_successor(prefix: str):
+    """Smallest string greater than every prefix-extension, or None when no
+    such string exists (prefix is all U+10FFFF)."""
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        if ord(chars[i]) < 0x10FFFF:
+            return "".join(chars[:i]) + chr(ord(chars[i]) + 1)
+    return None
+
+
 def _zero_bound(ftype: FieldType, value, is_lower: bool, inclusive: bool) -> int:
     if ftype == FieldType.F64 and float(value) == 0.0:
         if (is_lower and inclusive) or (not is_lower and not inclusive):
@@ -168,7 +197,8 @@ def _zero_bound(ftype: FieldType, value, is_lower: bool, inclusive: bool) -> int
 def query_fields(q: Q.Query, out=None) -> set:
     if out is None:
         out = set()
-    if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.ExistsQuery)):
+    if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery,
+                      Q.ExistsQuery)):
         out.add(q.field)
     elif isinstance(q, Q.BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
@@ -196,7 +226,9 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
         if col.ftype.is_stringy:
             return arrays[prefix + f"{q.field}:w"] >= 0
         return jnp.ones(T, dtype=bool)
-    if isinstance(q, (Q.TermQuery, Q.RangeQuery)):
+    if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery)):
+        # prefix queries carry the same :lo/:hi ordinal params as string
+        # ranges and share the range compare paths below
         col = dindex.column(q.field)
         k = _key(path)
         a = lambda s: arrays[prefix + f"{q.field}:{s}"]

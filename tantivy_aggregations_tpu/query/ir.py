@@ -54,6 +54,18 @@ class RangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class PrefixQuery(Query):
+    """Matches docs holding at least one term that starts with `prefix`
+    (keyword/text fields). Lowered to an inclusive global-ordinal range —
+    the term table is sorted, so all prefix-extensions form one contiguous
+    ordinal run; like every parameter, the run's bounds are traced scalars
+    (same query shape never recompiles)."""
+
+    field: str
+    prefix: str
+
+
+@dataclass(frozen=True)
 class ExistsQuery(Query):
     """Matches docs holding at least one value for `field`. Single-valued
     numeric fields always hold a value (missing -> type default, SURVEY.md
@@ -90,6 +102,8 @@ def structural_key(q: Query) -> tuple:
         return ("term", q.field)
     if isinstance(q, ExistsQuery):
         return ("exists", q.field)
+    if isinstance(q, PrefixQuery):
+        return ("prefix", q.field)
     if isinstance(q, RangeQuery):
         return (
             "range",

@@ -93,12 +93,20 @@ AGGS = {
                      sub_aggs={"n": count_agg(), "s": sum_agg("i")}),
     "pf": post_filter_agg(ExistsQuery("k"), sub_aggs={"n": count_agg()}),
     "th": top_hits_agg(4, "i"),
+    "cal": None,  # placeholder replaced below (date_histogram calendar)
 }
+from tantivy_aggregations_tpu import date_histogram_agg  # noqa: E402
+AGGS["cal"] = date_histogram_agg("ts", calendar_interval="month",
+                                 sub_aggs={"n": count_agg()})
+
+from tantivy_aggregations_tpu import PrefixQuery  # noqa: E402
 
 QUERIES = [
     MatchAllQuery(),
     BooleanQuery(must=[RangeQuery("u", lower=2**38)],
                  must_not=[TermQuery("tags", "beta")]),
+    BooleanQuery(must=[PrefixQuery("k", "key0")],
+                 should=[]),
 ]
 
 
@@ -120,5 +128,6 @@ def test_more_query_shapes_single_mode():
     oracle = idx.oracle_searcher()
     dev = idx.searcher()
     for q in [TermQuery("k", "key007"),
+              PrefixQuery("txt", "ze"),
               RangeQuery("i", lower=-2**34, upper=2**34)]:
         assert dev.agg_search(q, AGGS) == oracle.agg_search(q, AGGS)

@@ -389,3 +389,32 @@ def test_program_public_entry_surface():
     raw = jax.jit(fn)(*args)
     assert prog.finalize(raw, aggs) == \
         idx.oracle_searcher().agg_search(TermQuery("cat", "a"), aggs)
+
+
+def test_prefix_query():
+    """PrefixQuery: keyword/text prefix match == contiguous ordinal run of
+    the sorted term table (device) == startswith (oracle, spec-first)."""
+    from tantivy_aggregations_tpu import PrefixQuery
+    from fixtures import random_index, basic_index
+    idx = random_index(21, n_docs=400, n_segments=3, card=60)
+    s, o = idx.searcher(), idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("qty"),
+            "t": terms_agg("tags", size=5)}
+    for q in [PrefixQuery("cat", "cat00"),       # many matches
+              PrefixQuery("cat", "cat0001"),     # exact-term prefix
+              PrefixQuery("cat", ""),            # empty prefix = exists
+              PrefixQuery("cat", "zzz"),         # no matches
+              PrefixQuery("tags", "t"),          # multi-valued field
+              BooleanQuery(must=[PrefixQuery("cat", "cat001")],
+                           must_not=[PrefixQuery("tags", "t1")])]:
+        got = s.agg_search(q, aggs)
+        want = o.agg_search(q, aggs)
+        assert got == want, f"{q}\n{got}\n{want}"
+    # same shape, different prefix params -> no recompile (cached program)
+    p1 = s._program_for(PrefixQuery("cat", "cat00"), aggs)
+    p2 = s._program_for(PrefixQuery("cat", "cat03"), aggs)
+    assert p1 is p2
+    # type guard
+    import pytest
+    with pytest.raises(TypeError):
+        s.agg_search(PrefixQuery("qty", "1"), {"n": count_agg()})

@@ -179,3 +179,29 @@ def test_sharded_bisect_duplicates_and_edges(mesh):
         got = s.agg_search(q, aggs)
         want = idx.oracle_searcher().agg_search(q, aggs)
         assert got == want, f"\nsharded: {got}\noracle:  {want}"
+
+
+def test_sharded_percentiles_noninteger_bisect(mesh):
+    """Non-integer percents on a mesh: ranks resolve host-side (exact
+    rationals), then a phase-2 cross-shard bisection selects values — same
+    fast path as integer percents, no all-gather + sort."""
+    idx = random_index(14, n_docs=600, n_segments=3)
+    aggs = {"p": percentiles_agg("price", percents=(2.5, 33.3, 50.0, 97.5)),
+            "pq": percentiles_agg("qty", percents=(0.1, 99.9))}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    for k in ("p", "pq"):
+        assert prog.plan[("a", k)]["pmode"] == "rank", k
+        assert prog.plan[("a", k)]["bisect"], k
+        assert not prog.plan[("a", k)]["int_percents"], k
+    o = idx.oracle_searcher()
+    for q in [MatchAllQuery(), RangeQuery("qty", lower=50, upper=900),
+              RangeQuery("qty", lower=10**7)]:
+        got = s.agg_search(q, aggs)
+        want = o.agg_search(q, aggs)
+        assert got == want, f"\nsharded: {got}\noracle:  {want}"
+    # msearch batch drives the batched phase-2 select
+    reqs = [(MatchAllQuery(), aggs), (RangeQuery("qty", lower=50), aggs)] * 3
+    outs = s.agg_search_batch(reqs)
+    for (q, a), out in zip(reqs, outs):
+        assert out == o.agg_search(q, a)
