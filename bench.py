@@ -110,6 +110,11 @@ def finalize_cpp(cfg: int, raw: dict) -> dict:
                          "n": {"value": c2}}
                         for k, c, s, c2 in raw["buckets"]],
             "sum_other_doc_count": int(raw["other"])}}
+    if cfg == 8:  # prefix query + calendar month histogram {sum}
+        return {"n": {"value": raw["n"]},
+                "h": {"buckets": [
+                    {"key": k, "doc_count": c, "s": {"value": int(s)}}
+                    for k, c, s in raw["buckets"]]}}
     if cfg == 5:
         m = raw["m"]
         pcts = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -167,7 +172,7 @@ def main():
     if not args.skip_baseline:
         exe = build_baseline()
         manifest = write_manifest(idx, path)
-        for cfg in range(1, 8):
+        for cfg in range(1, 9):
             t0 = time.time()
             out = subprocess.run([exe, manifest, str(cfg), str(cpp_reps)],
                                  capture_output=True, text=True, check=True)

@@ -17,11 +17,13 @@ import numpy as np
 from .. import (
     BooleanQuery,
     MatchAllQuery,
+    PrefixQuery,
     RangeQuery,
     SchemaBuilder,
     TermQuery,
     avg_agg,
     count_agg,
+    date_histogram_agg,
     histogram_agg,
     max_agg,
     min_agg,
@@ -127,6 +129,13 @@ def extra_configs():
          {"t": terms_agg("sku", size=10,
                          sub_aggs={"s": sum_agg("amount"),
                                    "n": count_agg()})}),
+        # c8: the beyond-reference query/agg surface measured end to end —
+        # a keyword PREFIX query gating a CALENDAR-month date histogram
+        (8, "c8_calendar_hist_prefix_query",
+         PrefixQuery("sku", "sku000"),
+         {"n": count_agg(),
+          "h": date_histogram_agg("ts", calendar_interval="month",
+                                  sub_aggs={"s": sum_agg("amount")})}),
     ]
 
 
@@ -155,6 +164,9 @@ def varied_requests(cfg: int, aggs, n: int):
         return out
     if cfg == 7:
         return [(TermQuery("weights", 500 + (j % 32)), aggs)
+                for j in range(n)]
+    if cfg == 8:
+        return [(PrefixQuery("sku", f"sku00{j % 10}"), aggs)
                 for j in range(n)]
     return [(query, aggs)] * n
 

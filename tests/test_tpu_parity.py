@@ -173,3 +173,17 @@ def test_msearch_stream_on_device(idx):
     outs = list(s.agg_search_stream(iter(reqs), lookahead=3))
     for (q, a), got in zip(reqs, outs):
         assert got == o.agg_search(q, a)
+
+
+def test_calendar_and_prefix(idx):
+    from tantivy_aggregations_tpu import PrefixQuery, date_histogram_agg
+    run(idx, PrefixQuery("sku", "sku000"),
+        {"n": count_agg(), "s": sum_agg("amount"),
+         "w": date_histogram_agg("ts", calendar_interval="week")})
+    run(idx, MatchAllQuery(),
+        {"m": date_histogram_agg("ts", calendar_interval="month",
+                                 sub_aggs={"s": sum_agg("amount")}),
+         "d": date_histogram_agg("ts", calendar_interval="day")})
+    run(idx, BooleanQuery(must=[PrefixQuery("tags", "t1")],
+                          must_not=[PrefixQuery("status", "b")]),
+        {"n": count_agg()})
