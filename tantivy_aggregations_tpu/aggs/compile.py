@@ -252,11 +252,15 @@ class Program:
                 with jax.enable_x64(True):
                     ranks = jnp.asarray(rk, I64)  # [Bpad, 2P]
                 if p["pmode"] == "rank":
-                    cum32, vm = dev
-                    if p.get("bisect"):
+                    if p.get("pallas_counts"):
+                        fn, planes = self._lazy_phase2(path, p, True)
+                        gathers[path] = fn(dev[0], dev[1], ranks, planes)
+                    elif p.get("bisect"):
+                        cum32, vm = dev
                         fn, planes = self._bisect_phase2(path, p, True)
                         gathers[path] = fn(cum32, vm, ranks, planes)
                     else:
+                        cum32, vm = dev
                         gathers[path] = jax.vmap(_rank_select)(cum32, vm,
                                                                ranks)
                 else:
@@ -350,6 +354,29 @@ class Program:
                 return False
         return True
 
+    def _chain_pkeys(self, chain):
+        """Deterministic flat order of the chain's query param keys (the
+        int32 scalar vector handed to the chain_counts kernel's SMEM)."""
+        keys = []
+        for q, qpath in chain:
+            keys.extend(qc.extract_params(q, self.dindex, path=qpath))
+        return keys
+
+    def _chain_plane_keys(self, chain):
+        """Short plane keys (sans view prefix) the chain's eval_mask reads;
+        valid only under _chain_is_dense."""
+        keys = []
+        for f in sorted(self._chain_fields(chain)):
+            col = self._col(f)
+            if col.multi:
+                keys += [f"{f}:mp{kk}"
+                         for kk in range(len(col.multi_planes))]
+            elif col.narrow or col.ftype.is_stringy:
+                keys.append(f"{f}:w")
+            else:
+                keys += [f"{f}:hi", f"{f}:lo"]
+        return keys
+
     # -- permuted views ------------------------------------------------------
 
     def _build_permuted_view(self, layout, prefix, chain, payload_fields,
@@ -418,6 +445,44 @@ class Program:
                     cache(f"pay:{g}:s{i}", lambda limbs=limbs, i=i: limbs[perm, i])
                 self.plan.setdefault(("payL", prefix, g),
                                      {"L": limbs.shape[1]})
+
+    def _build_ccounts_view(self, layout, prefix, chain):
+        """Transposed ([128, R/128] group-major) copies of the chain's
+        permuted planes + the combined alive&valid plane, cached on the
+        layout — the input layout of the chain_counts Pallas kernel (a
+        cross-SUBLANE sum per 128-row group; see ops/pallas_kernels.py)."""
+        from ..index.loader import _put
+        from ..ops import pallas_kernels as PK
+        perm = layout.perm
+
+        def cache(key, build):
+            if key not in layout.cache:
+                layout.cache[key] = _put(np.asarray(build()),
+                                         self.dindex.mesh)
+            self._need(prefix + key, layout.cache[key])
+
+        def avalid():
+            a = self.dindex.alive_host[perm]
+            v = np.asarray(layout.valid_perm)
+            return PK.transpose_groups(((a > 0) & (v > 0)).astype(np.int8))
+
+        cache("T#avalid", avalid)
+        for f in sorted(self._chain_fields(chain)):
+            colf = self._col(f)
+            if colf.multi:
+                for kk, ph in enumerate(colf.multi_planes_host):
+                    cache(f"T#{f}:mp{kk}",
+                          lambda ph=ph: PK.transpose_groups(ph[perm]))
+                continue
+            hp = self._host_planes(colf)
+            if colf.narrow or colf.ftype.is_stringy:
+                cache(f"T#{f}:w",
+                      lambda hp=hp: PK.transpose_groups(hp[0][perm]))
+            else:
+                cache(f"T#{f}:hi",
+                      lambda hp=hp: PK.transpose_groups(hp[0][perm]))
+                cache(f"T#{f}:lo",
+                      lambda hp=hp: PK.transpose_groups(hp[1][perm]))
 
     def _need_bounds32(self, prefix, layout):
         """Register a bucket layout's 32-unit bounds: [card+1] unsharded,
@@ -628,6 +693,7 @@ class Program:
             p["layout"] = layout
             prefix = f"VL:{node.field}#"
             p["prefix"] = prefix
+            p["chain"] = chain
             self._build_permuted_view(layout, prefix, chain, ())
             # sharded: selected values come from a cross-shard bisection
             # over the (per-shard sorted) value planes, not from row
@@ -636,6 +702,18 @@ class Program:
             p["span"] = col.span
             if p["bisect"]:
                 self._need_sorted_value_planes(col, layout, prefix)
+            # fused Pallas chain-mask counts (ops/pallas_kernels.py
+            # chain_counts): one plane pass per msearch batch, 128-row
+            # granularity, no materialized [R] mask — window bits are
+            # recomputed from plane slices at selection time
+            from ..ops import pallas_kernels as PK
+            p["pallas_counts"] = (self._pallas_ok
+                                  and PK.chain_counts_supported(
+                                      layout.n_rows))
+            if p["pallas_counts"]:
+                p["pkeys"] = self._chain_pkeys(chain)
+                p["ckeys"] = self._chain_plane_keys(chain)
+                self._build_ccounts_view(layout, prefix, chain)
         else:
             p["pmode"] = "sort"
             self._need_col_planes(col)
@@ -1199,12 +1277,78 @@ class Program:
                               prefix)
         return m
 
+    def _int_ranks(self, p, m):
+        """0-based (lo, hi) rank pairs per percent, traced exactly in int64:
+        rank = (q * (m-1)) // 100 (q integer <= 100: q * (m-1) < 100 * 2^36
+        << 2^63); matches utils/exact.py percentile_rank for integer q."""
+        ms = jnp.maximum(m - 1, 0)
+        ranks = []
+        for q in p["percents"]:
+            num = jnp.int64(int(q)) * ms
+            lo = num // 100
+            hi = jnp.minimum(lo + 1, ms)
+            ranks.extend([lo, hi])
+        return ranks
+
+    def _ccounts_mask_of(self, p):
+        """Trace-time chain-mask builder for the chain_counts kernel: same
+        semantics as _perm_mask, evaluated over same-shaped VMEM blocks
+        (any 2-D shape) with int32 scalar params read from SMEM."""
+        chain, prefix, pkeys = p["chain"], p["prefix"], p["pkeys"]
+        dindex = self.dindex
+
+        def mask_of(vals, pvals):
+            params = dict(zip(pkeys, pvals))
+            arrays = {prefix + k: v for k, v in vals.items()}
+            shape = vals["avalid"].shape
+            m = vals["avalid"] > 0
+            for q, qpath in chain:
+                m = m & qc.eval_mask(q, dindex, params, qpath, shape,
+                                     arrays, prefix)
+            return m
+
+        return mask_of
+
+    def _window_mask(self, p, params, arrays, blk):
+        """Chain-mask bits of the 128-row window at group `blk`, recomputed
+        from dynamic slices of the ORIGINAL permuted planes (the kernel
+        path never materializes the [R] mask)."""
+        prefix, chain = p["prefix"], p["chain"]
+        base = (blk * 128).astype(I32)
+        sl = {prefix + k: jax.lax.dynamic_slice(
+                  arrays[prefix + k], (base,), (128,))
+              for k in ("alive", "lvalid", *p["ckeys"])}
+        m = (sl[prefix + "alive"] > 0) & (sl[prefix + "lvalid"] > 0)
+        for q, qpath in chain:
+            m = m & qc.eval_mask(q, self.dindex, params, qpath, 128, sl,
+                                 prefix)
+        return m
+
     def _eval_percentiles(self, node, ctx, params, arrays, path, p):
         field = node.field
         col = self._col(field)
         if p["pmode"] == "slot_rank":
             return self._eval_percentiles_slots(node, ctx, params, arrays,
                                                 path, p)
+        if p["pmode"] == "rank" and p.get("pallas_counts"):
+            from ..ops import pallas_kernels as PK
+            pvec = (jnp.stack([params[k] for k in p["pkeys"]])
+                    if p["pkeys"] else jnp.zeros(1, I32))
+            cc = PK.make_chain_counts(self._ccounts_mask_of(p),
+                                      self.config.pallas_interpret)
+            counts = cc(pvec, {k: arrays[p["prefix"] + "T#" + k]
+                               for k in ("avalid", *p["ckeys"])})
+            # int32 prefix is exact (totals <= Rn < 2^31) and native on the
+            # device; the int64 emulation was ~4x slower (measured)
+            cum = jnp.cumsum(counts)
+            m = self._madd(cum[-1].astype(I64))
+            if not p["int_percents"]:
+                return {"m": m, "cum128": cum, "qp": pvec}
+            ranks = self._int_ranks(p, m)
+            rows = _rank_select_rows_lazy(
+                cum, jnp.stack(ranks),
+                lambda blk: self._window_mask(p, params, arrays, blk))
+            return {"m": m, "rows": rows}
         if p["pmode"] == "rank":
             # local (shard) row count: layout.n_rows is the global length
             Rn = arrays[p["prefix"] + "lvalid"].shape[0]
@@ -1217,16 +1361,7 @@ class Program:
             if not p["int_percents"]:
                 return {"m": m, "cum32": cum32,
                         "vmask_perm": vm.astype(jnp.int8)}
-            # rank = (p * (m-1)) // 100 exactly in int64 (p integer <= 100x:
-            # p * (m-1) < 100 * 2^36 << 2^63); matches utils/exact.py
-            # percentile_rank for integer p
-            ms = jnp.maximum(m - 1, 0)
-            ranks = []
-            for q in node.percents:
-                num = jnp.int64(int(q)) * ms
-                lo = num // 100
-                hi = jnp.minimum(lo + 1, ms)
-                ranks.extend([lo, hi])
+            ranks = self._int_ranks(p, m)
             if p.get("bisect"):
                 planes = {k: arrays[p["prefix"] + k]
                           for k in (("sv0",) if p["narrow"]
@@ -1751,7 +1886,9 @@ class Program:
                 elif p["pmode"] == "slot_rank":
                     bigs["/".join(path)] = (r["cum"], r["vm"], r["slot"])
                 elif p["pmode"] == "rank":
-                    bigs["/".join(path)] = (r["cum32"], r["vmask_perm"])
+                    bigs["/".join(path)] = (
+                        (r["cum128"], r["qp"]) if "cum128" in r
+                        else (r["cum32"], r["vmask_perm"]))
                 else:
                     bigs["/".join(path)] = r["sorted"]
                 return
@@ -1815,6 +1952,31 @@ class Program:
                 ranks[s, 2 * i], ranks[s, 2 * i + 1] = lo, hi
         return ranks
 
+    def _lazy_phase2(self, path, p, batched: bool):
+        """Jitted rank-row selection for phase-2 (non-integer percents) on
+        the pallas_counts path: host-resolved ranks + [G] 128-row count
+        prefixes -> layout rows, window bits recomputed from plane slices
+        (no [R] mask intermediate ever exists). `batched` adds the msearch
+        batch axis on (cum128, qp, ranks)."""
+        cache = self.__dict__.setdefault("_phase2_cache", {})
+        key = (path, batched, "lazy")
+        if key not in cache:
+            wkeys = ("alive", "lvalid", *p["ckeys"])
+            prefix, pkeys = p["prefix"], p["pkeys"]
+
+            def one(cum, qp, ranks, planes):
+                with jax.enable_x64(True):
+                    params = {k: qp[i] for i, k in enumerate(pkeys)}
+                    full = {prefix + k: v for k, v in planes.items()}
+                    return _rank_select_rows_lazy(
+                        cum, ranks,
+                        lambda blk: self._window_mask(p, params, full, blk))
+
+            f = (jax.vmap(one, in_axes=(0, 0, 0, None)) if batched else one)
+            cache[key] = (jax.jit(f),
+                          {k: self._arrays[prefix + k] for k in wkeys})
+        return cache[key]
+
     def _bisect_phase2(self, path, p, batched: bool):
         """Jitted cross-shard bisection select for phase-2 (non-integer
         percents): host-resolved ranks + per-shard (cum32, vmask) prefix
@@ -1870,13 +2032,17 @@ class Program:
                 ranks.extend([lo, hi])
             node_host["_fracs"] = fracs
             if p["pmode"] == "rank":
-                cum32, vm = dev
                 with jax.enable_x64(True):
                     rarr = jnp.asarray(ranks, I64)
-                if p.get("bisect"):
+                if p.get("pallas_counts"):
+                    fn, planes = self._lazy_phase2(path, p, False)
+                    gathers[path] = fn(dev[0], dev[1], rarr, planes)
+                elif p.get("bisect"):
+                    cum32, vm = dev
                     fn, planes = self._bisect_phase2(path, p, False)
                     gathers[path] = fn(cum32, vm, rarr, planes)
                 else:
+                    cum32, vm = dev
                     gathers[path] = _rank_select(cum32, vm, rarr)
             else:
                 gathers[path] = _take(dev, jnp.asarray(ranks, I32))
@@ -2281,6 +2447,25 @@ def _bisect_select_values(planes, vm8, cum32, ranks, p, madd):
 
     l = _bisect_values(count_lo, t2, -(2**31), 2**31 - 1)
     return (h << 32) + (l + 2**31)  # rm domain (matches wide_recon)
+
+
+def _rank_select_rows_lazy(cum128, ranks, window_of):
+    """For each 0-based rank r: the layout row of the (r+1)-th matched row,
+    from a [G] inclusive per-128-row-group match-count prefix (int32) and a
+    `window_of(blk) -> bool [128]` recompute callback (no materialized
+    mask). Trace-time body; expects x64 semantics."""
+    targets = ranks + 1
+
+    def one(t):
+        blk = jnp.searchsorted(cum128, t.astype(cum128.dtype), side="left")
+        base = jnp.where(blk > 0, cum128[jnp.maximum(blk - 1, 0)],
+                         0).astype(I64)
+        window = window_of(blk)
+        inner = jnp.cumsum(window.astype(I32))
+        off = jnp.sum((inner.astype(I64) < (t - base)).astype(I32))
+        return (blk * 128 + off).astype(I32)
+
+    return jax.vmap(one)(targets)
 
 
 def _rank_select_rows(cum32, vmask_perm, ranks):

@@ -68,6 +68,127 @@ def supported(n: int) -> bool:
     return n % 128 == 0 and _pick_blkr(n // 128) is not None
 
 
+# ---------------------------------------------------------------------------
+# chain_counts128: fused query-chain mask -> per-128-row match counts
+# ---------------------------------------------------------------------------
+#
+# The rank-percentile path needs, per query, the count of chain-matched rows
+# in every 128-row run of the value-ordered layout (SURVEY.md §3.4's rank
+# machinery). The XLA formulation (materialize the [R] mask, reshape-sum,
+# cumsum) costs three+ HBM round trips of the full row axis PER QUERY in an
+# msearch batch. This kernel fuses mask evaluation (delegated to the same
+# trace-time `eval_mask` logic via a caller-supplied `mask_of` callback) with
+# the per-run reduction, and carries a custom_vmap rule: a B-query batch
+# reads each plane block ONCE and loops the B parameter vectors over it in
+# VMEM — HBM traffic drops from O(B * R) to O(R + B * R/128).
+#
+# Planes arrive TRANSPOSED ([128, R/128] group-major: the g-th 128-row run
+# of the layout is COLUMN g): the per-run reduction is then a cross-SUBLANE
+# sum, which Mosaic lowers to a short rotate-add tree — the row-major form
+# needs a cross-lane pack that costs an MXU dot per 128 rows (measured
+# slower). Swept on the v5e at 10M rows x 64 queries: ~25ms regardless of
+# block size / unrolling / plane count — per-query VPU compare cost is the
+# floor, HBM traffic is negligible.
+
+_CC_BLKC = 512  # lane-groups per grid block (swept 256..1536: flat)
+
+
+def _cc_pick_blkc(g: int):
+    """Largest multiple of 128 that divides g (<= _CC_BLKC), or None.
+    Row counts are PAD_BLOCK-padded (32768 = 256 groups), so 256 always
+    divides."""
+    best = None
+    b = 128
+    while b <= _CC_BLKC:
+        if g % b == 0:
+            best = b
+        b += 128
+    return best
+
+
+def chain_counts_supported(n_rows: int) -> bool:
+    return (n_rows > 0 and n_rows % 16384 == 0
+            and _cc_pick_blkc(n_rows // 128) is not None)
+
+
+def transpose_groups(plane_host, group: int = 128):
+    """[R] host array -> [group, R/group] group-major transposed copy (the
+    g-th `group`-row run is column g), the layout chain_counts expects."""
+    import numpy as np
+    return np.ascontiguousarray(plane_host.reshape(-1, group).T)
+
+
+def _chain_counts_batched(pmat, planes, mask_of, interpret: bool):
+    """pmat: int32 [B, P] query params; planes: dict name -> [128, G]
+    transposed int32/int8 (see transpose_groups). Returns [B, G] int32
+    counts of mask_of-matched rows per 128-row group."""
+    names = sorted(planes)
+    G = planes[names[0]].shape[1]
+    blkc = _cc_pick_blkc(G)
+    grid = G // blkc
+    B, P = pmat.shape
+
+    def kernel(pref, *refs):
+        out_ref = refs[-1]
+        # i8 vector compares are unsupported on this Mosaic -> widen loads
+        vals = {nm: (jax.lax.convert_element_type(refs[i][:], I32)
+                     if refs[i].dtype == jnp.int8 else refs[i][:])
+                for i, nm in enumerate(names)}
+        biota = jax.lax.broadcasted_iota(I32, (B, blkc), 0)
+        acc = jnp.zeros((B, blkc), I32)
+        # static unroll over the batch: params become compile-time-scheduled
+        # SMEM reads (a dynamic fori_loop index serializes on the scalar
+        # unit), and dynamic single-sublane stores are unsupported anyway —
+        # rows select into the [B, blkc] accumulator, stored once
+        for b in range(B):
+            pv = [pref[b, j] for j in range(P)]
+            m = mask_of(vals, pv)  # bool [128, blkc]
+            s = jnp.where(m, 1, 0).sum(axis=0, keepdims=True)  # [1, blkc]
+            acc = jnp.where(biota == b, s, acc)
+        out_ref[:, :] = acc
+
+    in_specs = [pl.BlockSpec((B, P), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec((128, blkc), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+                 for _ in names]
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((B, blkc), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, G), jnp.int32),
+            interpret=interpret,
+        )(pmat, *(planes[nm] for nm in names))
+    return out
+
+
+def make_chain_counts(mask_of, interpret: bool = False):
+    """A (pvec [P] i32, planes dict) -> [R/128] i32 counts function with a
+    batching rule that evaluates ALL vmapped queries in one plane pass.
+    `mask_of(vals, pvals)` must be a pure trace-time mask builder over
+    same-shaped int32/int8 blocks (any 2-D shape) and a list of int32
+    scalar params; it runs INSIDE the kernel (x64-off, int32 only)."""
+
+    @jax.custom_batching.custom_vmap
+    def cc(pvec, planes):
+        return _chain_counts_batched(pvec[None, :], planes, mask_of,
+                                     interpret)[0]
+
+    @cc.def_vmap
+    def _cc_vmap(axis_size, in_batched, pvec, planes):
+        if any(jax.tree_util.tree_leaves(in_batched[1])):
+            raise NotImplementedError("chain_counts planes cannot be batched")
+        if not in_batched[0]:
+            pvec = jnp.broadcast_to(pvec[None, :], (axis_size,
+                                                    pvec.shape[0]))
+        return _chain_counts_batched(pvec, planes, mask_of, interpret), True
+
+    return cc
+
+
 def _kernel(mask_ref, plane_ref, out_ref):
     m = mask_ref[:].astype(I32) > 0
     v = plane_ref[:]
