@@ -467,22 +467,16 @@ class Program:
             return PK.transpose_groups(((a > 0) & (v > 0)).astype(np.int8))
 
         cache("T#avalid", avalid)
-        for f in sorted(self._chain_fields(chain)):
+        for key in self._chain_plane_keys(chain):
+            f, kind = key.rsplit(":", 1)
             colf = self._col(f)
-            if colf.multi:
-                for kk, ph in enumerate(colf.multi_planes_host):
-                    cache(f"T#{f}:mp{kk}",
-                          lambda ph=ph: PK.transpose_groups(ph[perm]))
-                continue
-            hp = self._host_planes(colf)
-            if colf.narrow or colf.ftype.is_stringy:
-                cache(f"T#{f}:w",
-                      lambda hp=hp: PK.transpose_groups(hp[0][perm]))
+            if kind.startswith("mp"):
+                ph = colf.multi_planes_host[int(kind[2:])]
+                build = (lambda ph=ph: PK.transpose_groups(ph[perm]))
             else:
-                cache(f"T#{f}:hi",
-                      lambda hp=hp: PK.transpose_groups(hp[0][perm]))
-                cache(f"T#{f}:lo",
-                      lambda hp=hp: PK.transpose_groups(hp[1][perm]))
+                hp = self._host_planes(colf)[1 if kind == "lo" else 0]
+                build = (lambda hp=hp: PK.transpose_groups(hp[perm]))
+            cache(f"T#{key}", build)
 
     def _need_bounds32(self, prefix, layout):
         """Register a bucket layout's 32-unit bounds: [card+1] unsharded,
@@ -1479,11 +1473,11 @@ class Program:
             if colg.multi:
                 cnt_rows = arrays[prefix + f"pay:{g}:cnt"]
                 gcnt = self._madd(
-                    R.prefix_diff(R.block32_sums(cnt_rows, vm), bounds32))
+                    R.prefix_diff_sums(cnt_rows, vm, bounds32))
             else:
                 gcnt = counts
             sums = jnp.stack(
-                [self._madd(R.prefix_diff(R.block32_sums(pl, vm), bounds32))
+                [self._madd(R.prefix_diff_sums(pl, vm, bounds32))
                  for pl in planes], axis=-1)
             if len(planes) == 1 and not colg.multi and colg.sum_direct:
                 sub_out[name] = {"cnt": gcnt, "sum": sums[:, 0]}
@@ -1500,8 +1494,7 @@ class Program:
             vm = self._perm_mask(ctx.chain, params, arrays, prefix,
                                  arrays[prefix + "lvalid"].shape[0])
             bounds32 = self._local_bounds32(arrays, prefix)
-            counts = self._madd(
-                R.prefix_diff(R.block32_counts(vm), bounds32))
+            counts = self._madd(R.prefix_diff_counts(vm, bounds32))
             out = {"counts": counts}
             out.update(self._prefix_bucket_outputs(node, arrays, p, counts,
                                                    vm))
@@ -1783,9 +1776,8 @@ class Program:
         prefix = p["prefix"]
         vm = self._perm_mask(ctx.chain, params, arrays, prefix,
                              arrays[prefix + "lvalid"].shape[0])
-        counts = self._madd(R.prefix_diff(R.block32_counts(vm),
-                                          self._local_bounds32(arrays,
-                                                               prefix)))
+        counts = self._madd(R.prefix_diff_counts(
+            vm, self._local_bounds32(arrays, prefix)))
         sub_out = self._prefix_bucket_outputs(node, arrays, p, counts, vm)
         return self._terms_select_traced(p, counts, sub_out, 1)
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 I32 = jnp.int32
 I64 = jnp.int64
@@ -158,6 +159,91 @@ def prefix_diff(block_vals, bounds32) -> jnp.ndarray:
     """Exclusive prefix over [R/32] block values, gathered at 32-unit bucket
     bounds [card+1] -> per-bucket totals [card] int64."""
     pref = jnp.cumsum(block_vals.astype(I64))
+    pref = jnp.concatenate([jnp.zeros(1, I64), pref])
+    at = pref[bounds32]
+    return at[1:] - at[:-1]
+
+
+# ---------------------------------------------------------------------------
+# Exact MXU prefix scan (the cumsum replacement for per-query block axes)
+# ---------------------------------------------------------------------------
+#
+# XLA's native cumsum over a [B, R/32] per-query block axis runs ~25ms
+# (int32) / ~50ms (emulated int64) per 64-query msearch batch at 10M rows on
+# this TPU — 25-100x off roofline, and it sat on the critical path of every
+# per-query prefix-layout agg. A prefix scan IS a triangular matmul, so run
+# it on the MXU instead: split values into 7-bit pieces (each piece and
+# every f32 partial stays exactly representable in the MXU's bf16 x bf16 ->
+# f32 pipeline: |piece| <= 127, chunk sums <= 2048 * 127 < 2^18 << 2^24),
+# multiply each chunk by a constant upper-triangular 0/1 matrix, then stitch
+# chunk offsets with a tiny int64 scan. Exact for any int32 input by
+# construction; pure XLA (works on CPU and under shard_map/vmap).
+
+_SCAN_CHUNK = 2048
+
+
+def _signed_pieces(x, max_abs: int):
+    """x int32 [..] -> list of int32 piece arrays, low-to-high: pieces
+    0..n-2 in [0, 127], top piece signed in [-64, 63] (given |x| <=
+    max_abs); x == sum(p_i << 7i) exactly (two's complement identity)."""
+    n = 1
+    while (int(max_abs) >> (7 * (n - 1))) > 63:
+        n += 1
+    pieces = []
+    for i in range(n - 1):
+        pieces.append((x >> (7 * i)) & 127)
+    pieces.append(x >> (7 * (n - 1)))
+    return pieces
+
+
+def mxu_cumsum(x, max_abs: int, chunk: int = _SCAN_CHUNK) -> jnp.ndarray:
+    """Exact int64 inclusive cumsum along the LAST axis of an int32 array
+    with |values| <= max_abs, computed as piece-decomposed triangular
+    matmuls on the MXU plus a tiny cross-chunk int64 scan."""
+    g = x.shape[-1]
+    lead = x.shape[:-1]
+    pad = (-g) % chunk
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((*lead, pad), x.dtype)], axis=-1)
+    c = (g + pad) // chunk
+    x3 = x.reshape(*lead, c, chunk)
+    tri = jnp.asarray(
+        np.triu(np.ones((chunk, chunk), np.float32)).astype(jnp.bfloat16))
+    intra = None
+    for i, p in enumerate(_signed_pieces(x3, max_abs)):
+        part = jnp.einsum("...ck,kj->...cj", p.astype(jnp.bfloat16), tri,
+                          preferred_element_type=jnp.float32)
+        part = part.astype(I32).astype(I64) << (7 * i)
+        intra = part if intra is None else intra + part
+    # chunk totals -> exclusive int64 offsets (tiny: [.., c])
+    tot = intra[..., -1]
+    off = jnp.cumsum(tot, axis=-1) - tot
+    cum = (intra + off[..., None]).reshape(*lead, c * chunk)
+    return cum[..., :g] if pad else cum
+
+
+def prefix_diff_counts(vm, bounds32) -> jnp.ndarray:
+    """prefix_diff(block32_counts(vm), bounds32) with a native int32 cumsum
+    (exact: totals <= R < 2^31; measured 5ms vs 39ms emulated int64 vs 6ms
+    MXU-scan for a [64, 370K] batch — int32 XLA wins for counts)."""
+    pref = jnp.cumsum(block32_counts(vm)).astype(I64)
+    pref = jnp.concatenate([jnp.zeros(1, I64), pref])
+    at = pref[bounds32]
+    return at[1:] - at[:-1]
+
+
+def prefix_diff_sums(plane, mask, bounds32) -> jnp.ndarray:
+    """prefix_diff(block32_sums(plane, mask), bounds32) without ever
+    materializing an int64 block axis: the 13-bit split's per-block hi/lo
+    int32 sums (|hi_sum| <= 32 * 2^18, lo_sum < 32 * 2^13) each scan on
+    the MXU and recombine at the [card+1] bounds gather."""
+    v = jnp.where(mask, plane, 0).reshape(-1, 32)
+    hi = v >> 13
+    lo = v - (hi << 13)
+    ch = mxu_cumsum(hi.sum(axis=1), 32 << 18)
+    cl = mxu_cumsum(lo.sum(axis=1), 32 << 13)
+    pref = (ch << 13) + cl
     pref = jnp.concatenate([jnp.zeros(1, I64), pref])
     at = pref[bounds32]
     return at[1:] - at[:-1]

@@ -90,3 +90,15 @@ def test_rank_percentiles_kernel_msearch(psearch):
         outs = s.agg_search_batch(reqs)
         for (q, t), rd in zip(reqs, outs):
             assert rd == o.agg_search(q, t)
+
+
+def test_rank_percentiles_kernel_msearch_matchall(psearch):
+    # empty param chain: exercises _cc_vmap's unbatched-pvec broadcast
+    # branch (the dummy zeros(1) vector is constant across the batch)
+    s, o = psearch
+    for pc in ([5, 50, 95], [2.5, 50.0, 97.5]):
+        reqs = [(tat.MatchAllQuery(),
+                 {"p": tat.percentiles_agg("price", percents=pc)})] * 4
+        outs = s.agg_search_batch(reqs)
+        for (q, t), rd in zip(reqs, outs):
+            assert rd == o.agg_search(q, t)

@@ -1,0 +1,61 @@
+"""Unit exactness tests for ops/reductions.py primitives — especially the
+MXU triangular-matmul prefix scan (mxu_cumsum), whose correctness argument
+is a piece-decomposition proof (7-bit pieces stay exact through the
+bf16 x bf16 -> f32 MXU pipeline); these pin the extremes of that proof."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tantivy_aggregations_tpu.ops import reductions as R
+
+
+@pytest.mark.parametrize("shape,maxv", [
+    ((5000,), 32),                    # counts-like, 1-D
+    ((4, 5000), 32),                  # batched counts
+    ((3, 7001), 32 << 18),            # signed sums-like, non-divisible len
+    ((2, 2048), 32 << 13),            # exactly one chunk
+    ((1,), 5),                        # single element
+    ((2, 2049), 32 << 18),            # chunk + 1
+])
+def test_mxu_cumsum_exact(shape, maxv):
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    lo = 0 if maxv <= 32 else -maxv
+    x = rng.integers(lo, maxv + 1, shape).astype(np.int32)
+    if x.size >= 10:
+        x.reshape(-1)[:5] = maxv       # pin the extremes
+        x.reshape(-1)[5:10] = lo
+    with jax.enable_x64(True):
+        got = np.asarray(jax.jit(
+            lambda a: R.mxu_cumsum(a, maxv))(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.cumsum(x.astype(np.int64),
+                                                 axis=-1))
+
+
+def test_prefix_diff_mxu_matches_reference():
+    rng = np.random.default_rng(7)
+    Rn = 32 * 4096
+    plane = rng.integers(-(2**26), 2**26, Rn).astype(np.int32)
+    mask = jnp.asarray(rng.random(Rn) < 0.7)
+    bounds = np.sort(rng.choice(Rn // 32 + 1, 50,
+                                replace=False)).astype(np.int32)
+    with jax.enable_x64(True):
+        ref_s = R.prefix_diff(R.block32_sums(jnp.asarray(plane), mask),
+                              jnp.asarray(bounds))
+        got_s = R.prefix_diff_sums(jnp.asarray(plane), mask,
+                                   jnp.asarray(bounds))
+        ref_c = R.prefix_diff(R.block32_counts(mask), jnp.asarray(bounds))
+        got_c = R.prefix_diff_counts(mask, jnp.asarray(bounds))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+
+
+def test_mxu_cumsum_under_vmap():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 129, (6, 3000)).astype(np.int32)
+    with jax.enable_x64(True):
+        got = np.asarray(jax.jit(jax.vmap(
+            lambda a: R.mxu_cumsum(a, 128)))(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.cumsum(x.astype(np.int64),
+                                                 axis=-1))
