@@ -110,12 +110,29 @@ class OracleSearcher:
         dtype = numeric_dtype(entry.type)
         v = fd.values
         hit = np.ones(v.shape, dtype=bool)
-        if q.lower is not None:
-            lo = dtype(q.lower)
-            hit &= (v >= lo) if q.include_lower else (v > lo)
-        if q.upper is not None:
-            up = dtype(q.upper)
-            hit &= (v <= up) if q.include_upper else (v < up)
+        for b, lower, inc in ((q.lower, True, q.include_lower),
+                              (q.upper, False, q.include_upper)):
+            if b is None:
+                continue
+            if entry.type != FieldType.F64:
+                # exact integer bound normalization shared with the device
+                # compiler (query/compile.py _norm_int_bound): fractional
+                # bounds tighten, exclusivity folds in, out-of-domain
+                # bounds become vacuous/empty instead of wrapping
+                from ..query.compile import _norm_int_bound
+                r = _norm_int_bound(entry.type, b, lower, inc)
+                if r == "all":
+                    continue
+                if r == "empty":
+                    hit = np.zeros_like(hit)
+                    continue
+                hit &= (v >= dtype(r)) if lower else (v <= dtype(r))
+            else:
+                bb = dtype(b)
+                if lower:
+                    hit &= (v >= bb) if inc else (v > bb)
+                else:
+                    hit &= (v <= bb) if inc else (v < bb)
         return self._vals_hit_to_doc_mask(hit, fd, seg)
 
     @staticmethod

@@ -211,7 +211,13 @@ def f64_histogram_buckets(
     nb = int(k_max - k_min) + 1
     bounds = np.empty(nb - 1, dtype=np.float64)
     for j in range(nb - 1):
-        bounds[j] = _smallest_f64_geq(off + (k_min + j + 1) * iv)
+        b = _smallest_f64_geq(off + (k_min + j + 1) * iv)
+        if b == 0.0:
+            # -0.0 == 0.0 numerically but mono(-0.0) < mono(+0.0): place a
+            # zero boundary at -0.0 so v == -0.0 buckets on the >= side
+            # (mirrors query/compile.py _zero_bound for range lower bounds)
+            b = -0.0
+        bounds[j] = b
     bounds_mono = mono_mod.f64_to_mono(bounds) if nb > 1 else np.empty(0, dtype=np.int64)
     return int(k_min), bounds_mono
 

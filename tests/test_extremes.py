@@ -22,6 +22,7 @@ from tantivy_aggregations_tpu import (
     sum_agg,
     terms_agg,
 )
+from tantivy_aggregations_tpu.schema import Cardinality
 
 
 def check(idx, query, aggs):
@@ -193,3 +194,50 @@ def test_high_card_prefix_path_parity():
     s = idx.searcher()
     prog = s._program_for(MatchAllQuery(), aggs)
     assert prog.plan[("a", "t")]["mode"] == "prefix"
+
+
+def test_f64_histogram_negative_zero_boundary():
+    """-0.0 == 0.0 numerically, so a zero bucket boundary must place -0.0
+    in the [0, interval) bucket on BOTH engines (regression: the device's
+    mono-domain boundary sat at mono(+0.0), bucketing -0.0 one bucket low;
+    found by fuzz via tests/fixtures.py random_index round(-tiny, 3))."""
+    b = (SchemaBuilder().add_f64_field("v")
+         .add_f64_field("m", cardinality=Cardinality.MULTI)
+         .add_keyword_field("g", cardinality=Cardinality.MULTI).build())
+    idx = Index.create_in_ram(b)
+    w = idx.writer()
+    vals = [-0.0, 0.0, -1e-9, 1e-9, -10.0, 10.0, -9.999, 9.999, 0.0, -0.0]
+    for i, v in enumerate(vals):
+        w.add_document({"v": v, "m": [v, -v], "g": [f"t{i % 2}", "all"]})
+    w.commit()
+    s, o = idx.searcher(), idx.oracle_searcher()
+    for t in (
+        {"h": histogram_agg("v", interval=10.0)},
+        {"h": histogram_agg("v", interval=10.0, offset=-20.0)},
+        {"hm": histogram_agg("m", interval=10.0)},
+        {"t": terms_agg("g", size=4,
+                        sub_aggs={"h": histogram_agg("m", interval=10.0)})},
+    ):
+        got, want = s.agg_search(MatchAllQuery(), t), o.agg_search(
+            MatchAllQuery(), t)
+        assert got == want, (t, got, want)
+
+
+def test_multi_bucket_under_multi_parent_fanout():
+    """Multi-valued child bucket aggs under a short multi-valued keyword
+    parent run on device through the plane fan-out (only CSR-shaped multi
+    parents fall back to the host path)."""
+    from fixtures import random_index
+    idx = random_index(seed=23, n_docs=6000)
+    s, o = idx.searcher(), idx.oracle_searcher()
+    for q in (MatchAllQuery(), RangeQuery("qty", lower=10, upper=900000)):
+        for t in (
+            {"t": terms_agg("tags", size=8,
+                            sub_aggs={"u": terms_agg("counts", size=5)})},
+            {"t": terms_agg("tags", size=8,
+                            sub_aggs={"h": histogram_agg("scores",
+                                                         interval=25.0)})},
+        ):
+            prog = s._program_for(q, t)
+            assert type(prog).__name__ == "Program", (q, t)  # device, not host
+            assert s.agg_search(q, t) == o.agg_search(q, t), (q, t)

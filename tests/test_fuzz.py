@@ -1,0 +1,137 @@
+"""Structural fuzz lane: random agg TREES x random queries over randomized
+indexes, device == oracle (SURVEY.md §4.2 property strategy, widened from
+fixed tree shapes after a fuzz-found ±0.0 histogram-boundary bug). Trees
+that plan to the exact host fallback still count — the contract is the
+answer, not the execution mode."""
+
+import numpy as np
+import pytest
+
+import tantivy_aggregations_tpu as tat
+from fixtures import random_index
+
+NUM_FIELDS = ["qty", "delta", "price", "ts", "scores", "counts"]
+SINGLE_NUM = ["qty", "delta", "price", "ts"]
+KW_FIELDS = ["cat", "tags"]
+ALL_FIELDS = NUM_FIELDS + KW_FIELDS
+
+
+def _rand_metric(rng):
+    f = NUM_FIELDS[rng.integers(0, len(NUM_FIELDS))]
+    k = rng.integers(0, 5)
+    if k == 0:
+        return tat.count_agg()
+    if k == 1:
+        return tat.sum_agg(f)
+    if k == 2:
+        return tat.avg_agg(f)
+    if k == 3:
+        return tat.min_agg(f)
+    return tat.max_agg(f)
+
+
+def _rand_leafy(rng):
+    """Metric or selection leaf (percentiles/top_hits allowed anywhere —
+    rare shapes route through the host fallback)."""
+    k = rng.integers(0, 8)
+    if k == 6:
+        f = NUM_FIELDS[rng.integers(0, len(NUM_FIELDS))]
+        pc = sorted(rng.choice([1.0, 25.0, 50.0, 75.0, 99.0, 33.3, 97.5],
+                               size=rng.integers(1, 4), replace=False))
+        return tat.percentiles_agg(f, [float(p) for p in pc])
+    if k == 7:
+        f = SINGLE_NUM[rng.integers(0, len(SINGLE_NUM))]
+        return tat.top_hits_agg(int(rng.integers(1, 4)), f,
+                                ascending=bool(rng.integers(0, 2)))
+    return _rand_metric(rng)
+
+
+def _rand_bucket(rng, depth):
+    subs = {f"s{i}": _rand_leafy(rng)
+            for i in range(rng.integers(0, 3))}
+    if depth > 0 and rng.random() < 0.5:
+        subs["b"] = _rand_bucket(rng, depth - 1)
+    k = rng.integers(0, 4)
+    if k == 0:
+        f = KW_FIELDS[rng.integers(0, 2)] if rng.random() < 0.7 \
+            else NUM_FIELDS[rng.integers(0, len(NUM_FIELDS))]
+        return tat.terms_agg(f, size=int(rng.integers(1, 12)),
+                             sub_aggs=subs or None)
+    if k == 1:
+        f = NUM_FIELDS[rng.integers(0, len(NUM_FIELDS))]
+        iv = float(rng.choice([1, 5, 10.0, 97, 250, 1000.5]))
+        return tat.histogram_agg(f, interval=iv,
+                                 offset=float(rng.choice([0, -2, 3])),
+                                 sub_aggs=subs or None)
+    if k == 2:
+        return tat.filter_agg(_rand_query(rng), sub_aggs=subs or None)
+    f = KW_FIELDS[rng.integers(0, 2)]
+    return tat.terms_agg(f, size=int(rng.integers(1, 6)), sub_aggs=subs
+                         or None)
+
+
+def _rand_query(rng):
+    k = rng.integers(0, 6)
+    if k == 0:
+        return tat.MatchAllQuery()
+    if k == 1:
+        return tat.TermQuery("cat", f"cat{int(rng.integers(0, 60)):04d}")
+    if k == 2:
+        return tat.TermQuery("tags", f"t{int(rng.integers(0, 10))}")
+    if k == 3:
+        lo = int(rng.integers(-200, 800))
+        return tat.RangeQuery("qty" if rng.random() < 0.5 else "delta",
+                              lower=lo, upper=lo + int(rng.integers(1, 700)),
+                              include_upper=bool(rng.integers(0, 2)))
+    if k == 4:
+        return tat.RangeQuery("price", lower=float(rng.integers(-100, 10)),
+                              upper=float(rng.integers(10, 200)))
+    return tat.BooleanQuery(
+        must=[_rand_query(rng) for _ in range(rng.integers(0, 2))],
+        should=[_rand_query(rng) for _ in range(rng.integers(0, 2))],
+        must_not=[_rand_query(rng) for _ in range(rng.integers(0, 2))])
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47, 101, 163, 251])
+def test_fuzz_random_trees(seed):
+    rng = np.random.default_rng(seed)
+    idx = random_index(seed, n_docs=400, n_segments=2)
+    s, o = idx.searcher(), idx.oracle_searcher()
+    done = 0
+    while done < 8:
+        q = _rand_query(rng)
+        tree = {"a": _rand_bucket(rng, depth=1)}
+        if rng.random() < 0.5:
+            tree["m"] = _rand_leafy(rng)
+        try:
+            want = o.agg_search(q, tree)
+        except (ValueError, TypeError):
+            continue  # invalid tree for this schema; both engines reject
+        got = s.agg_search(q, tree)
+        assert got == want, (seed, q, tree)
+        done += 1
+
+
+def test_range_bound_domain_edges():
+    """Out-of-domain / fractional / infinite range bounds on integer fields
+    normalize exactly (clamp to vacuous/empty, ceil/floor tightening) on
+    both engines — fuzz-found: a negative lower bound on a u64 field used
+    to WRAP through the dtype (device: empty result; oracle: crash)."""
+    idx = random_index(seed=3, n_docs=1500)
+    s, o = idx.searcher(), idx.oracle_searcher()
+    cases = [
+        tat.RangeQuery("qty", lower=-52, upper=432),
+        tat.RangeQuery("qty", lower=-5, upper=2**70),
+        tat.RangeQuery("qty", lower=2**65),
+        tat.RangeQuery("qty", upper=-1),
+        tat.RangeQuery("qty", lower=10.5, upper=20.5),
+        tat.RangeQuery("qty", lower=10.0, upper=20.0, include_upper=False),
+        tat.RangeQuery("delta", lower=-(2**64), upper=2**64),
+        tat.RangeQuery("delta", lower=float("-inf"), upper=float("inf")),
+        tat.RangeQuery("delta", lower=-10.2, upper=-0.5),
+        tat.RangeQuery("ts", lower=-3, upper=5_000_000),
+        tat.RangeQuery("qty", lower=float("nan")),
+    ]
+    t = {"n": tat.count_agg(), "s": tat.sum_agg("delta")}
+    for q in cases:
+        assert s.agg_search(q, t) == o.agg_search(q, t), q
