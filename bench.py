@@ -115,6 +115,25 @@ def finalize_cpp(cfg: int, raw: dict) -> dict:
                 "h": {"buckets": [
                     {"key": k, "doc_count": c, "s": {"value": int(s)}}
                     for k, c, s in raw["buckets"]]}}
+    if cfg == 9:  # terms{percentiles slot_rank, top_hits} nested selection
+        pcts = (25.0, 50.0, 75.0)
+        buckets = []
+        for key, cnt, ranks, hits in raw["buckets"]:
+            values = {}
+            for p, (lo_bits, hi_bits) in zip(pcts, ranks):
+                if cnt == 0:
+                    values[str(p)] = None
+                    continue
+                lo, hi, frac = exact.percentile_rank(p, cnt)
+                values[str(p)] = exact.interpolate(
+                    _f64(lo_bits), _f64(hi_bits), frac)
+            buckets.append({
+                "key": key, "doc_count": cnt,
+                "p": {"values": values},
+                "th": {"hits": [{"segment": si, "doc": d, "value": v}
+                                for v, si, d in hits]}})
+        return {"t": {"buckets": buckets,
+                      "sum_other_doc_count": int(raw["other"])}}
     if cfg == 5:
         m = raw["m"]
         pcts = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -172,7 +191,7 @@ def main():
     if not args.skip_baseline:
         exe = build_baseline()
         manifest = write_manifest(idx, path)
-        for cfg in range(1, 9):
+        for cfg in range(1, 10):
             t0 = time.time()
             out = subprocess.run([exe, manifest, str(cfg), str(cpp_reps)],
                                  capture_output=True, text=True, check=True)

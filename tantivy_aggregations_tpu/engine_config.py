@@ -18,10 +18,11 @@ class EngineConfig:
     collect_stats: bool = False
     #: msearch group cap: same-shape queries per vmapped dispatch; multiple
     #: groups pipeline (device->host copies overlap later groups' compute).
-    #: 64 measured best on the v5e: the device link's fixed per-round-trip
-    #: cost (~8ms sync through the axon tunnel) amortizes over the group
-    #: while compute per group stays < 1ms
-    max_batch: int = 64
+    #: 128 measured best on the v5e (re-swept after the Pallas/MXU prefix
+    #: work dropped per-query device time): the link's fixed per-round-trip
+    #: cost amortizes over the group; 64 -> 128 took the streams from
+    #: 0.41 -> 0.11 ms/q (count+sum) and 1.21 -> 1.08 ms/q (percentile mix)
+    max_batch: int = 128
     #: fused Pallas metric kernels on the TPU backend (unsharded programs)
     use_pallas: bool = True
     #: run Pallas kernels in interpreter mode (CPU testing of kernel paths)

@@ -31,6 +31,7 @@ from .. import (
     post_filter_agg,
     sum_agg,
     terms_agg,
+    top_hits_agg,
 )
 from ..schema import Cardinality, Schema
 
@@ -136,6 +137,14 @@ def extra_configs():
          {"n": count_agg(),
           "h": date_histogram_agg("ts", calendar_interval="month",
                                   sub_aggs={"s": sum_agg("amount")})}),
+        # c9: nested SELECTION device paths — per-bucket percentiles
+        # (slot_rank) and per-bucket top_hits under a terms agg
+        (9, "c9_terms_nested_percentiles_tophits",
+         RangeQuery("amount", lower=100, upper=9000, include_upper=True),
+         {"t": terms_agg("status", size=4,
+                         sub_aggs={"p": percentiles_agg(
+                                       "price", (25.0, 50.0, 75.0)),
+                                   "th": top_hits_agg(3, "qty")})}),
     ]
 
 
@@ -167,6 +176,11 @@ def varied_requests(cfg: int, aggs, n: int):
                 for j in range(n)]
     if cfg == 8:
         return [(PrefixQuery("sku", f"sku00{j % 10}"), aggs)
+                for j in range(n)]
+    if cfg == 9:
+        return [(RangeQuery("amount", lower=100 + (j % 32),
+                            upper=9000 - (j % 32), include_upper=True),
+                 aggs)
                 for j in range(n)]
     return [(query, aggs)] * n
 
