@@ -115,10 +115,10 @@ def finalize_cpp(cfg: int, raw: dict) -> dict:
                 "h": {"buckets": [
                     {"key": k, "doc_count": c, "s": {"value": int(s)}}
                     for k, c, s in raw["buckets"]]}}
-    if cfg == 9:  # terms{percentiles slot_rank, top_hits} nested selection
+    if cfg == 9:  # terms{percentiles} nested slot_rank selection
         pcts = (25.0, 50.0, 75.0)
         buckets = []
-        for key, cnt, ranks, hits in raw["buckets"]:
+        for key, cnt, ranks in raw["buckets"]:
             values = {}
             for p, (lo_bits, hi_bits) in zip(pcts, ranks):
                 if cnt == 0:
@@ -127,11 +127,8 @@ def finalize_cpp(cfg: int, raw: dict) -> dict:
                 lo, hi, frac = exact.percentile_rank(p, cnt)
                 values[str(p)] = exact.interpolate(
                     _f64(lo_bits), _f64(hi_bits), frac)
-            buckets.append({
-                "key": key, "doc_count": cnt,
-                "p": {"values": values},
-                "th": {"hits": [{"segment": si, "doc": d, "value": v}
-                                for v, si, d in hits]}})
+            buckets.append({"key": key, "doc_count": cnt,
+                            "p": {"values": values}})
         return {"t": {"buckets": buckets,
                       "sum_other_doc_count": int(raw["other"])}}
     if cfg == 5:
@@ -175,7 +172,9 @@ def main():
 
     n_docs = args.docs or (100_000 if args.smoke else 10_000_000)
     reps = args.reps or 96          # sequential-latency reps (p50)
-    stream_reps = 6 * 64            # sustained-stream length (6 msearch groups)
+    from tantivy_aggregations_tpu.engine_config import EngineConfig
+    # sustained-stream length: 6 msearch groups at the serving batch size
+    stream_reps = 6 * EngineConfig().max_batch
     cpp_reps = 3
 
     import jax

@@ -154,11 +154,46 @@ class Program:
         self.raw_fn = fn
         self._fn = jax.jit(fn)
         self._fn_vmapped = None  # lazily compiled msearch variant
+        self.batch_cap = self._batch_cap()
         self._defer_topk = 0  # >0 while tracing inside a plane fan-out
 
     # ======================================================================
     # public
     # ======================================================================
+
+    #: HBM headroom an msearch batch's per-query row-axis state may occupy
+    #: (the resident columns + layouts live in the remaining HBM)
+    _BATCH_MEM_BUDGET = 4 << 30
+
+    def _batch_cap(self):
+        """Program-specific msearch group bound, or None (no per-query
+        row-axis residency worth capping). The rare per-slot selection
+        paths keep O(rows)-sized state per batched query alive through
+        selection — slot planes (slot_rank), 3-key sort buffers (in-slot
+        top_hits / sort-mode percentiles) — so the group must shrink as
+        rows grow or a 10M-row batch would exhaust HBM."""
+        per_q = 0
+        for p in self.plan.values():
+            if not isinstance(p, dict):
+                continue
+            kind = p.get("kind")
+            if kind == "percentiles" and p.get("pmode") == "slot_rank":
+                rows = p["layout"].n_rows
+                per_q = max(per_q, rows * (9 + p["nslots"] // 4))
+            elif kind == "percentiles" and p.get("pmode") == "rank" \
+                    and not p.get("pallas_counts"):
+                per_q = max(per_q, p["layout"].n_rows * 3)
+            elif kind == "percentiles" and p.get("pmode") == "sort":
+                per_q = max(per_q, self.dindex.T * 24)
+            elif kind == "top_hits" and p.get("in_slot"):
+                per_q = max(per_q, self.dindex.T * 50)
+        if per_q == 0:
+            return None
+        cap = max(1, self._BATCH_MEM_BUDGET // per_q)
+        b = 1
+        while b * 2 <= cap:  # power of two: stable vmapped jit shapes
+            b *= 2
+        return b
 
     def run(self, query, aggs):
         return self.finalize(self.submit(query, aggs), aggs)

@@ -137,14 +137,16 @@ def extra_configs():
          {"n": count_agg(),
           "h": date_histogram_agg("ts", calendar_interval="month",
                                   sub_aggs={"s": sum_agg("amount")})}),
-        # c9: nested SELECTION device paths — per-bucket percentiles
-        # (slot_rank) and per-bucket top_hits under a terms agg
-        (9, "c9_terms_nested_percentiles_tophits",
+        # c9: the nested-selection device path — per-bucket percentiles
+        # (slot_rank) under a terms agg. (top_hits under buckets exists and
+        # is parity-tested, but its per-slot path is a full-row sort — not
+        # a sensible 10M-row benchmark per ops/reductions.py's measured
+        # sort pathology.)
+        (9, "c9_terms_nested_percentiles",
          RangeQuery("amount", lower=100, upper=9000, include_upper=True),
          {"t": terms_agg("status", size=4,
                          sub_aggs={"p": percentiles_agg(
-                                       "price", (25.0, 50.0, 75.0)),
-                                   "th": top_hits_agg(3, "qty")})}),
+                                       "price", (25.0, 50.0, 75.0))})}),
     ]
 
 

@@ -115,12 +115,11 @@ class OracleSearcher:
             if b is None:
                 continue
             if entry.type != FieldType.F64:
-                # exact integer bound normalization shared with the device
-                # compiler (query/compile.py _norm_int_bound): fractional
+                # exact integer bound normalization (SURVEY §A.10): the
+                # shared spec implementation in utils/exact.py — fractional
                 # bounds tighten, exclusivity folds in, out-of-domain
                 # bounds become vacuous/empty instead of wrapping
-                from ..query.compile import _norm_int_bound
-                r = _norm_int_bound(entry.type, b, lower, inc)
+                r = exact.norm_int_bound(entry.type.value, b, lower, inc)
                 if r == "all":
                     continue
                 if r == "empty":

@@ -19,6 +19,7 @@ Exactness notes:
 
 from __future__ import annotations
 
+import math
 from typing import Dict
 
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ import numpy as np
 
 from ..query import ir as Q
 from ..schema import FieldType
+from ..utils import exact as exact_mod
 from ..utils import mono as mono_mod
 from ..ops import reductions as R
 
@@ -136,19 +138,24 @@ def _extract(q, dindex, path, out) -> None:
         # normalize to inclusive mono bounds
         forced_empty = False
         if entry.type != FieldType.F64:
-            # integer fields: exact bound normalization (fractional bounds
-            # tighten via ceil/floor, out-of-domain bounds become vacuous
-            # or empty instead of wrapping through the dtype) — mirrored in
-            # oracle/engine.py _range_mask
-            lo_r = _norm_int_bound(entry.type, q.lower, True,
-                                   q.include_lower)
-            hi_r = _norm_int_bound(entry.type, q.upper, False,
-                                   q.include_upper)
+            # integer fields: exact bound normalization (SURVEY §A.10;
+            # shared spec implementation in utils/exact.py, also used by
+            # oracle/engine.py _range_mask)
+            lo_r = exact_mod.norm_int_bound(entry.type.value, q.lower, True,
+                                            q.include_lower)
+            hi_r = exact_mod.norm_int_bound(entry.type.value, q.upper,
+                                            False, q.include_upper)
             forced_empty = lo_r == "empty" or hi_r == "empty"
             lo_m = (_mono(entry.type, lo_r) if isinstance(lo_r, int)
                     else col.min_mono)
             hi_m = (_mono(entry.type, hi_r) if isinstance(hi_r, int)
                     else col.max_mono)
+        elif ((q.lower is not None and math.isnan(q.lower))
+              or (q.upper is not None and math.isnan(q.upper))):
+            # NaN bounds match nothing on f64 fields too (the oracle's
+            # IEEE compares are all-false for NaN; encode the same)
+            forced_empty = True
+            lo_m, hi_m = col.min_mono, col.max_mono
         else:
             if q.lower is not None:
                 lo_m = _zero_bound(entry.type, q.lower, True,
@@ -204,52 +211,6 @@ def _prefix_successor(prefix: str):
         if ord(chars[i]) < 0x10FFFF:
             return "".join(chars[:i]) + chr(ord(chars[i]) + 1)
     return None
-
-
-_INT_DOMAIN = {"u64": (0, 2**64 - 1), "date": (0, 2**64 - 1),
-               "i64": (-(2**63), 2**63 - 1)}
-
-
-def _norm_int_bound(ftype: FieldType, value, is_lower: bool,
-                    inclusive: bool):
-    """Exact normalization of one range bound on an INTEGER field:
-    fractional bounds tighten to the nearest in-range integer (v >= 10.5
-    == v >= 11), exclusivity folds in via the integer bijection, and
-    out-of-domain bounds become "all" (vacuous) or "empty" instead of
-    wrapping through the storage dtype. Returns an inclusive USER-domain
-    bound (int), "all", or "empty". Shared with the oracle
-    (oracle/engine.py _range_mask) so both engines encode one semantic."""
-    import math
-    if value is None:
-        return "all"
-    dmin, dmax = _INT_DOMAIN[ftype.value]
-    b = value
-    if isinstance(b, float):
-        if math.isnan(b):
-            return "empty"
-        if math.isinf(b):
-            if is_lower:
-                return "empty" if b > 0 else "all"
-            return "all" if b > 0 else "empty"
-        bi = math.ceil(b) if is_lower else math.floor(b)
-        if bi != b:
-            inclusive = True  # strictness absorbed by the rounding
-        b = int(bi)
-    else:
-        b = int(b)
-    if not inclusive:
-        b += 1 if is_lower else -1
-    if is_lower:
-        if b <= dmin:
-            return "all"
-        if b > dmax:
-            return "empty"
-    else:
-        if b >= dmax:
-            return "all"
-        if b < dmin:
-            return "empty"
-    return b
 
 
 def _zero_bound(ftype: FieldType, value, is_lower: bool, inclusive: bool) -> int:

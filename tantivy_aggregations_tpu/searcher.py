@@ -114,10 +114,10 @@ class Searcher:
         # group consecutive same-shape requests, capped so multiple groups
         # pipeline: each group's device->host copy overlaps the next group's
         # compute (max_batch in EngineConfig)
-        cap = self.config.max_batch
         groups = []  # (prog, [queries], aggs)
         for query, aggs in requests:
             prog = self._program_for(query, aggs)
+            cap = self._group_cap(prog)
             if (groups and groups[-1][0] is prog and groups[-1][2] is aggs
                     and len(groups[-1][1]) < cap):
                 groups[-1][1].append(query)
@@ -131,6 +131,15 @@ class Searcher:
         for group in submitted:
             results.extend(self._collect_group(group))
         return results
+
+    def _group_cap(self, prog) -> int:
+        """msearch group size for one program: the serving batch, shrunk by
+        the program's own HBM-residency cap (per-query [rows] state in the
+        rare slot_rank / in-slot-top_hits / sort paths must fit alongside
+        the resident columns — see Program.batch_cap)."""
+        cap = self.config.max_batch
+        pc = getattr(prog, "batch_cap", None)
+        return cap if pc is None else max(1, min(cap, pc))
 
     def _collect_group(self, group):
         prog, queries, aggs, raw, staged = group
@@ -147,13 +156,13 @@ class Searcher:
         round trip amortizes over the whole stream instead of every
         agg_search_batch call. Yields result dicts in request order."""
         from collections import deque
-        cap = self.config.max_batch
         it = iter(requests)
         pending = deque()  # (prog, queries, aggs, raw, staged)
         holdover = []  # request that ended the previous group (shape change)
 
         def next_group():
             group_q, group_aggs, prog = [], None, None
+            cap = self.config.max_batch
             while True:
                 if holdover:
                     query, aggs = holdover.pop()
@@ -165,6 +174,7 @@ class Searcher:
                 p = self._program_for(query, aggs)
                 if prog is None:
                     prog, group_aggs = p, aggs
+                    cap = self._group_cap(p)
                 elif p is not prog or aggs is not group_aggs:
                     holdover.append((query, aggs))  # starts the next group
                     break

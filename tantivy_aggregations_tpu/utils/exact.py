@@ -27,6 +27,7 @@ bucketing is exact too. See SURVEY.md §A.5/§A.8.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from fractions import Fraction
 from typing import Optional, Tuple
@@ -230,6 +231,53 @@ def f64_histogram_key(k: int, interval: float, offset: float) -> float:
 # ---------------------------------------------------------------------------
 # Percentile rank interpolation (host side, deterministic)
 # ---------------------------------------------------------------------------
+
+_INT_DOMAIN = {"u64": (0, 2**64 - 1), "date": (0, 2**64 - 1),
+               "i64": (-(2**63), 2**63 - 1)}
+
+
+def norm_int_bound(type_value: str, value, is_lower: bool,
+                   inclusive: bool):
+    """Exact normalization of one range bound on an INTEGER field
+    (SURVEY.md §A.10 spec choice): fractional bounds tighten to the
+    nearest in-range integer (v >= 10.5 == v >= 11), exclusivity folds in
+    via the integer bijection, NaN matches nothing, and out-of-domain or
+    infinite bounds become "all" (vacuous) or "empty" instead of wrapping
+    through the storage dtype. Returns an inclusive USER-domain bound
+    (int), "all", or "empty". The single implementation both engines use
+    (query/compile.py and oracle/engine.py)."""
+    if value is None:
+        return "all"
+    dmin, dmax = _INT_DOMAIN[type_value]
+    b = value
+    if isinstance(b, (float, np.floating)):
+        b = float(b)
+        if math.isnan(b):
+            return "empty"
+        if math.isinf(b):
+            if is_lower:
+                return "empty" if b > 0 else "all"
+            return "all" if b > 0 else "empty"
+        bi = math.ceil(b) if is_lower else math.floor(b)
+        if bi != b:
+            inclusive = True  # strictness absorbed by the rounding
+        b = int(bi)
+    else:
+        b = int(b)
+    if not inclusive:
+        b += 1 if is_lower else -1
+    if is_lower:
+        if b <= dmin:
+            return "all"
+        if b > dmax:
+            return "empty"
+    else:
+        if b >= dmax:
+            return "all"
+        if b < dmin:
+            return "empty"
+    return b
+
 
 def percentile_rank(p: float, m: int) -> Tuple[int, int, float]:
     """Exact rank split for percentile p over m sorted values.

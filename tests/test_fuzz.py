@@ -98,18 +98,25 @@ def test_fuzz_random_trees(seed):
     idx = random_index(seed, n_docs=400, n_segments=2)
     s, o = idx.searcher(), idx.oracle_searcher()
     done = 0
-    while done < 8:
+    for _attempt in range(100):
+        if done >= 8:
+            break
         q = _rand_query(rng)
         tree = {"a": _rand_bucket(rng, depth=1)}
         if rng.random() < 0.5:
             tree["m"] = _rand_leafy(rng)
         try:
             want = o.agg_search(q, tree)
-        except (ValueError, TypeError):
-            continue  # invalid tree for this schema; both engines reject
+        except (ValueError, TypeError, KeyError):
+            # invalid tree/query for this schema: the DEVICE must reject
+            # it too (accept-what-the-spec-rejects is also a divergence)
+            with pytest.raises((ValueError, TypeError, KeyError)):
+                s.agg_search(q, tree)
+            continue
         got = s.agg_search(q, tree)
         assert got == want, (seed, q, tree)
         done += 1
+    assert done >= 8, f"only {done} valid trees in 100 attempts (seed {seed})"
 
 
 def test_range_bound_domain_edges():
@@ -131,6 +138,10 @@ def test_range_bound_domain_edges():
         tat.RangeQuery("delta", lower=-10.2, upper=-0.5),
         tat.RangeQuery("ts", lower=-3, upper=5_000_000),
         tat.RangeQuery("qty", lower=float("nan")),
+        tat.RangeQuery("price", upper=float("nan")),       # f64 NaN bound
+        tat.RangeQuery("qty", lower=np.float32(10.5)),     # np.floating
+        tat.RangeQuery("qty", lower=np.float32("nan")),
+        tat.RangeQuery("delta", upper=np.float64(-0.5)),
     ]
     t = {"n": tat.count_agg(), "s": tat.sum_agg("delta")}
     for q in cases:
