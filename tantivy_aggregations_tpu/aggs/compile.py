@@ -1212,13 +1212,13 @@ class Program:
             if need_min:
                 out["min"] = self._mmin(
                     R.masked_min_i32(planes["w"], vmask) if col.narrow
-                    else R.masked_min_i64(self._recon_rm(field, planes),
-                                          vmask))
+                    else R.masked_min_wide(planes["hi"], planes["lo"],
+                                           vmask))
             if need_max:
                 out["max"] = self._mmax(
                     R.masked_max_i32(planes["w"], vmask) if col.narrow
-                    else R.masked_max_i64(self._recon_rm(field, planes),
-                                          vmask))
+                    else R.masked_max_wide(planes["hi"], planes["lo"],
+                                           vmask))
             if need_sum:
                 if p["direct"]:
                     out["sum"] = self._madd(R.ts_sum_plane(planes["w"],
@@ -1282,10 +1282,9 @@ class Program:
             v = arrays[pre + which + "A"]
             return R.masked_min_i32(v, mask) if is_min \
                 else R.masked_max_i32(v, mask)
-        rm = R.wide_recon(arrays[pre + which + "A"],
-                          arrays[pre + which + "B"])
-        return R.masked_min_i64(rm, mask) if is_min \
-            else R.masked_max_i64(rm, mask)
+        a, b = arrays[pre + which + "A"], arrays[pre + which + "B"]
+        return R.masked_min_wide(a, b, mask) if is_min \
+            else R.masked_max_wide(a, b, mask)
 
     def _slot_preagg_minmax(self, ctx, arrays, pre, which, col, is_min):
         if col.narrow:

@@ -83,6 +83,25 @@ def masked_max_i64(rm, mask) -> jnp.ndarray:
     return jnp.max(jnp.where(mask, rm, I64_MIN))
 
 
+def masked_min_wide(hi, lo, mask) -> jnp.ndarray:
+    """Exact masked min of a wide (hi, lo) int32 plane pair in the rm
+    domain, via TWO native int32 passes (lexicographic: min hi, then min
+    lo among rows at that hi) — int64 compare-select is emulated on this
+    TPU. Empty mask yields exactly I64_MAX, same as masked_min_i64:
+    ((2^31-1) << 32) + (2^31-1) + 2^31 == 2^63 - 1."""
+    mh = jnp.min(jnp.where(mask, hi, I32_MAX))
+    ml = jnp.min(jnp.where(mask & (hi == mh), lo, I32_MAX))
+    return (mh.astype(I64) << 32) + (ml.astype(I64) + 2**31)
+
+
+def masked_max_wide(hi, lo, mask) -> jnp.ndarray:
+    """Exact masked max of a wide (hi, lo) pair (see masked_min_wide);
+    empty mask yields exactly I64_MIN."""
+    mh = jnp.max(jnp.where(mask, hi, -I32_MAX - 1))
+    ml = jnp.max(jnp.where(mask & (hi == mh), lo, -I32_MAX - 1))
+    return (mh.astype(I64) << 32) + (ml.astype(I64) + 2**31)
+
+
 # ---------------------------------------------------------------------------
 # Blocked one-hot bucket reductions (nb small)
 # ---------------------------------------------------------------------------

@@ -146,3 +146,28 @@ def test_range_bound_domain_edges():
     t = {"n": tat.count_agg(), "s": tat.sum_agg("delta")}
     for q in cases:
         assert s.agg_search(q, t) == o.agg_search(q, t), q
+
+
+def test_fuzz_random_trees_sharded():
+    """Mesh-path fuzz: the same random trees over an 8-device CPU mesh
+    (sharded fast paths + host fallbacks), bit-identical to the oracle."""
+    import jax
+    from tantivy_aggregations_tpu.parallel.shard import make_mesh
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    for seed in (401, 409):
+        rng = np.random.default_rng(seed)
+        idx = random_index(seed, n_docs=600, n_segments=2)
+        s, o = idx.searcher(mesh=mesh), idx.oracle_searcher()
+        done = 0
+        for _ in range(50):
+            if done >= 4:
+                break
+            q = _rand_query(rng)
+            tree = {"a": _rand_bucket(rng, depth=1)}
+            try:
+                want = o.agg_search(q, tree)
+            except (ValueError, TypeError, KeyError):
+                continue
+            assert s.agg_search(q, tree) == want, (seed, q, tree)
+            done += 1
+        assert done >= 4

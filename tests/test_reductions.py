@@ -59,3 +59,20 @@ def test_mxu_cumsum_under_vmap():
             lambda a: R.mxu_cumsum(a, 128)))(jnp.asarray(x)))
     np.testing.assert_array_equal(got, np.cumsum(x.astype(np.int64),
                                                  axis=-1))
+
+
+def test_masked_minmax_wide_matches_i64():
+    rng = np.random.default_rng(5)
+    n = 4096
+    hi = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+    lo = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+    with jax.enable_x64(True):
+        rm = R.wide_recon(jnp.asarray(hi), jnp.asarray(lo))
+        for frac in (0.5, 0.001, 0.0):  # incl. the EMPTY mask sentinel
+            mask = jnp.asarray(rng.random(n) < frac)
+            assert int(R.masked_min_wide(jnp.asarray(hi), jnp.asarray(lo),
+                                         mask)) == int(R.masked_min_i64(
+                                             rm, mask))
+            assert int(R.masked_max_wide(jnp.asarray(hi), jnp.asarray(lo),
+                                         mask)) == int(R.masked_max_i64(
+                                             rm, mask))
