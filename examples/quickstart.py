@@ -3,6 +3,13 @@
 Run from the repo root: python examples/quickstart.py
 (CPU or TPU — the engine picks whatever JAX backend is active.)"""
 
+import os
+import sys
+
+# make `python examples/quickstart.py` work without an install: the
+# interpreter puts examples/ (not the cwd) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import tantivy_aggregations_tpu as tat
