@@ -762,8 +762,11 @@ class Program:
             keys, inner = cal.calendar_layout(node.calendar, lo, hi)
             nb = len(keys)
             if nb > MAX_HIST_NB:
-                raise ValueError(
-                    f"calendar histogram would span {nb} buckets")
+                # device capacity limit, not a user error: the oracle
+                # answers this tree, so route to the exact host fallback
+                raise NotImplementedError(
+                    f"calendar histogram would span {nb} buckets on "
+                    "device (host path handles it)")
             # rm domain: rm = (mono - min_mono) - 2^63; boundary micros b ->
             # mono = b - 2^63 (the u64->mono shift)
             rb = [_wrap64(((int(b) - 2**63) - col.min_mono) - 2**63)
@@ -778,9 +781,9 @@ class Program:
                 lo, hi, float(node.interval), float(node.offset))
             nb = len(bounds_mono) + 1
             if nb > MAX_HIST_NB:
-                raise ValueError(
-                    f"f64 histogram would span {nb} buckets (> "
-                    f"{MAX_HIST_NB}); raise the interval")
+                raise NotImplementedError(
+                    f"f64 histogram would span {nb} buckets on device "
+                    "(host path handles it)")
             # rm domain: rm = (mono - min_mono) - 2^63
             rb = [_wrap64((int(b) - col.min_mono) - 2**63)
                   for b in bounds_mono]
@@ -837,7 +840,9 @@ class Program:
         p.update(self._hist_layout(col, node))
         nb = p["nb"]
         if tflat * nb >= 2**31:
-            raise ValueError("composite bucket slot space exceeds 2^31")
+            raise NotImplementedError(
+                "composite bucket slot space exceeds 2^31 on device "
+                "(host path handles it)")
         # precomputed per-row bucket ids (host-exact, device-cached)
         bid_key = (f"{node.field}:bid:cal:{node.calendar}" if node.calendar
                    else f"{node.field}:bid:{node.interval}:{node.offset}")
@@ -927,9 +932,13 @@ class Program:
             card = col.card
             p["keys_mono"] = values_mono
         if card > MAX_TERMS_CARD:
-            raise ValueError(f"terms cardinality {card} exceeds bound")
+            raise NotImplementedError(
+                f"terms cardinality {card} exceeds the device bound "
+                "(host path handles it)")
         if tflat * card >= 2**31:
-            raise ValueError("composite bucket slot space exceeds 2^31")
+            raise NotImplementedError(
+                "composite bucket slot space exceeds 2^31 on device "
+                "(host path handles it)")
         p["card"] = card
         p["keff"] = min(node.size, card)
         self._plan_terms_order(node, p)

@@ -241,10 +241,18 @@ class DeviceColumn:
             mn = np.full(T, self.min_mono, np.int64)
             mx = np.full(T, self.min_mono, np.int64)
             if n:
-                starts = np.minimum(offs[:-1], n - 1)
-                mn = np.where(has, np.minimum.reduceat(monos, starts),
+                # reduceat needs indices < len(operand), but offs reaches n
+                # for every doc past the last value row. Clamping offs to
+                # n-1 would chop the LAST valued doc's final value out of
+                # its group (fuzz-found: its per-doc max came back as its
+                # min) — append a duplicate of the last value instead so
+                # index n is addressable and group boundaries stay exact
+                # (the duplicate only ever joins the last valued doc's own
+                # group; empty/padding groups are masked by `has`).
+                ext = np.concatenate([monos, monos[-1:]])
+                mn = np.where(has, np.minimum.reduceat(ext, offs[:-1]),
                               self.min_mono)
-                mx = np.where(has, np.maximum.reduceat(monos, starts),
+                mx = np.where(has, np.maximum.reduceat(ext, offs[:-1]),
                               self.min_mono)
             _, mnA, mnB = _mono_planes(mn, self.min_mono, self.span)
             _, mxA, mxB = _mono_planes(mx, self.min_mono, self.span)

@@ -241,3 +241,27 @@ def test_multi_bucket_under_multi_parent_fanout():
             prog = s._program_for(q, t)
             assert type(prog).__name__ == "Program", (q, t)  # device, not host
             assert s.agg_search(q, t) == o.agg_search(q, t), (q, t)
+
+
+def test_multi_preagg_minmax_last_doc():
+    """Per-doc min/max pre-aggregates of a multi-valued field must be
+    exact for the LAST doc holding values (regression: a reduceat index
+    clamp chopped that doc's final value out of its group, so its per-doc
+    max came back as its min; fuzz-found)."""
+    b = (SchemaBuilder().add_f64_field("m", cardinality=Cardinality.MULTI)
+         .add_keyword_field("g").build())
+    idx = Index.create_in_ram(b)
+    w = idx.writer()
+    w.add_document({"m": [5.0, 1.0], "g": "a"})
+    w.add_document({"m": [], "g": "a"})
+    w.add_document({"m": [0.3, 0.9], "g": "b"})  # last valued doc, asc tail
+    w.add_document({"g": "b"})                   # trailing docs w/o values
+    w.commit()
+    s, o = idx.searcher(), idx.oracle_searcher()
+    for t in ({"mx": max_agg("m"), "mn": min_agg("m")},
+              {"t": terms_agg("g", size=2,
+                              sub_aggs={"mx": max_agg("m"),
+                                        "mn": min_agg("m")})}):
+        got, want = s.agg_search(MatchAllQuery(), t), o.agg_search(
+            MatchAllQuery(), t)
+        assert got == want, (t, got, want)

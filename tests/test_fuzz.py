@@ -18,7 +18,7 @@ ALL_FIELDS = NUM_FIELDS + KW_FIELDS
 
 def _rand_metric(rng):
     f = NUM_FIELDS[rng.integers(0, len(NUM_FIELDS))]
-    k = rng.integers(0, 5)
+    k = rng.integers(0, 6)
     if k == 0:
         return tat.count_agg()
     if k == 1:
@@ -27,6 +27,8 @@ def _rand_metric(rng):
         return tat.avg_agg(f)
     if k == 3:
         return tat.min_agg(f)
+    if k == 4:
+        return tat.stats_agg(f)
     return tat.max_agg(f)
 
 
@@ -58,6 +60,10 @@ def _rand_bucket(rng, depth):
         return tat.terms_agg(f, size=int(rng.integers(1, 12)),
                              sub_aggs=subs or None)
     if k == 1:
+        if rng.random() < 0.25:  # calendar intervals over the date field
+            cal = str(rng.choice(["day", "week", "month"]))
+            return tat.date_histogram_agg("ts", calendar_interval=cal,
+                                          sub_aggs=subs or None)
         f = NUM_FIELDS[rng.integers(0, len(NUM_FIELDS))]
         iv = float(rng.choice([1, 5, 10.0, 97, 250, 1000.5]))
         return tat.histogram_agg(f, interval=iv,
@@ -71,7 +77,12 @@ def _rand_bucket(rng, depth):
 
 
 def _rand_query(rng):
-    k = rng.integers(0, 6)
+    k = rng.integers(0, 8)
+    if k == 6:
+        return tat.ExistsQuery(ALL_FIELDS[rng.integers(0, len(ALL_FIELDS))])
+    if k == 7:
+        return tat.PrefixQuery(KW_FIELDS[rng.integers(0, 2)],
+                               str(rng.choice(["cat00", "cat", "t", "zz"])))
     if k == 0:
         return tat.MatchAllQuery()
     if k == 1:
