@@ -56,6 +56,8 @@ I64 = jnp.int64
 I64_MAX = 2**63 - 1
 MAX_TERMS_CARD = 1 << 27
 MAX_HIST_NB = 1 << 20  # f64 bucket-layout bound (host boundary list is O(nb))
+MAX_HIST_NB_HOST = 1 << 24  # beyond this even the host path refuses (the
+# oracle's per-bucket work would run for hours on a tiny interval)
 DENSE_NB = 256  # one-hot bucket budget (O(rows * nb) VPU work)
 
 
@@ -172,21 +174,22 @@ class Program:
         selection — slot planes (slot_rank), 3-key sort buffers (in-slot
         top_hits / sort-mode percentiles) — so the group must shrink as
         rows grow or a 10M-row batch would exhaust HBM."""
-        per_q = 0
+        per_q = 0  # SUM over nodes: XLA liveness may keep several
+        # subtrees' [rows] intermediates alive at once in one program
         for p in self.plan.values():
             if not isinstance(p, dict):
                 continue
             kind = p.get("kind")
             if kind == "percentiles" and p.get("pmode") == "slot_rank":
                 rows = p["layout"].n_rows
-                per_q = max(per_q, rows * (9 + p["nslots"] // 4))
+                per_q += rows * (9 + p["nslots"] // 4)
             elif kind == "percentiles" and p.get("pmode") == "rank" \
                     and not p.get("pallas_counts"):
-                per_q = max(per_q, p["layout"].n_rows * 3)
+                per_q += p["layout"].n_rows * 3
             elif kind == "percentiles" and p.get("pmode") == "sort":
-                per_q = max(per_q, self.dindex.T * 24)
+                per_q += self.dindex.T * 24
             elif kind == "top_hits" and p.get("in_slot"):
-                per_q = max(per_q, self.dindex.T * 50)
+                per_q += self.dindex.T * 50
         if per_q == 0:
             return None
         cap = max(1, self._BATCH_MEM_BUDGET // per_q)
@@ -780,6 +783,10 @@ class Program:
             k_min, bounds_mono = exact.f64_histogram_buckets(
                 lo, hi, float(node.interval), float(node.offset))
             nb = len(bounds_mono) + 1
+            if nb > MAX_HIST_NB_HOST:
+                raise ValueError(
+                    f"f64 histogram would span {nb} buckets; raise the "
+                    "interval")
             if nb > MAX_HIST_NB:
                 raise NotImplementedError(
                     f"f64 histogram would span {nb} buckets on device "
@@ -795,6 +802,9 @@ class Program:
         k_min = (lo_u - off) // iv
         k_max = (hi_u - off) // iv
         nb = k_max - k_min + 1
+        if nb > MAX_HIST_NB_HOST:
+            raise ValueError(
+                f"histogram would span {nb} buckets; raise the interval")
         # j = (w - w_base) // iv with w_base = (off + k_min*iv) - lo_u <= 0
         w_base = (off + k_min * iv) - lo_u
         span_num = col.span - w_base

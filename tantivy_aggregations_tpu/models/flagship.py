@@ -31,7 +31,6 @@ from .. import (
     post_filter_agg,
     sum_agg,
     terms_agg,
-    top_hits_agg,
 )
 from ..schema import Cardinality, Schema
 

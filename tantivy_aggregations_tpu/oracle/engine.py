@@ -251,6 +251,13 @@ class OracleSearcher:
         all_keys = (np.concatenate([k for _, _, k in per_seg_rows])
                     if per_seg_rows else np.zeros(0, dtype=np.int64))
         uniq = np.unique(all_keys)
+        if uniq.size and int(uniq[-1]) - int(uniq[0]) + 1 > (1 << 24):
+            # resource-limit spec choice shared with the device planner
+            # (aggs/compile.py MAX_HIST_NB_HOST): histograms spanning more
+            # than 2^24 buckets are refused by BOTH engines
+            raise ValueError(
+                f"histogram would span {int(uniq[-1]) - int(uniq[0]) + 1} "
+                "buckets; raise the interval")
         out_buckets = []
         for k in uniq.tolist():
             refined = []
@@ -526,6 +533,13 @@ class OracleSearcher:
         all_keys = (np.concatenate([k for _, _, k in per_seg_rows])
                     if per_seg_rows else np.zeros(0, dtype=np.int64))
         uniq = np.unique(all_keys)
+        if uniq.size and int(uniq[-1]) - int(uniq[0]) + 1 > (1 << 24):
+            # resource-limit spec choice shared with the device planner
+            # (aggs/compile.py MAX_HIST_NB_HOST): histograms spanning more
+            # than 2^24 buckets are refused by BOTH engines
+            raise ValueError(
+                f"histogram would span {int(uniq[-1]) - int(uniq[0]) + 1} "
+                "buckets; raise the interval")
         out_buckets = []
         for k in uniq.tolist():
             refined = []

@@ -150,8 +150,8 @@ def _extract(q, dindex, path, out) -> None:
                     else col.min_mono)
             hi_m = (_mono(entry.type, hi_r) if isinstance(hi_r, int)
                     else col.max_mono)
-        elif ((q.lower is not None and math.isnan(q.lower))
-              or (q.upper is not None and math.isnan(q.upper))):
+        elif ((q.lower is not None and math.isnan(float(q.lower)))
+              or (q.upper is not None and math.isnan(float(q.upper)))):
             # NaN bounds match nothing on f64 fields too (the oracle's
             # IEEE compares are all-false for NaN; encode the same)
             forced_empty = True
