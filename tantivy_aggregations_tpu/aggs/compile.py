@@ -24,14 +24,20 @@ the measured hardware rationale):
   rank rows are resolved in a tiny second-phase program and mapped to
   values on the host. Sharded meshes select by BISECTING the value domain
   against per-shard sorted planes (_bisect_select_values) — no all-gather,
-  no sort, O(log span) tiny psums. ("sort" fallback reconstructs int64 and
-  sorts; sharded non-integer percents still use it.)
+  no sort, O(log span) tiny psums; sharded non-integer percents resolve
+  through the same phase-2 cross-shard bisection over (cum32, vmask)
+  intermediates. ("sort" fallback reconstructs int64 and sorts; it remains
+  only for multi-valued / non-dense-chain fields.)
 - "scatter" fallback for everything else (XLA:CPU executes scatters well).
 
-Nesting compiles to composite bucket slots (SURVEY.md §7 step 4). v1 device
-limits (oracle supports all of these; device raises NotImplementedError):
-percentiles/top_hits under bucket aggs; bucket aggs nested under a
-multi-valued bucket field.
+Nesting compiles to composite bucket slots (SURVEY.md §7 step 4), including
+percentiles/top_hits under bucket aggs (slot_rank / in-slot sort paths).
+Remaining device limits route to the exact host fallback via
+NotImplementedError at plan time (searcher._HostFallback): sharded
+slot_rank/in-slot selection, bucket aggs nested under a multi-valued
+bucket field, and histograms whose column-span bucket count exceeds
+MAX_HIST_NB_HOST (the host applies the realized-span ceiling — the one
+refusal condition, defined in oracle/engine.py::_check_hist_span).
 """
 
 from __future__ import annotations
@@ -56,8 +62,10 @@ I64 = jnp.int64
 I64_MAX = 2**63 - 1
 MAX_TERMS_CARD = 1 << 27
 MAX_HIST_NB = 1 << 20  # f64 bucket-layout bound (host boundary list is O(nb))
-MAX_HIST_NB_HOST = 1 << 24  # beyond this even the host path refuses (the
-# oracle's per-bucket work would run for hours on a tiny interval)
+MAX_HIST_NB_HOST = 1 << 24  # columns spanning more buckets than this skip
+# device planning entirely (host path); the oracle then refuses iff the
+# REALIZED matched span exceeds 2^24 (oracle/engine.py::_check_hist_span) —
+# a filtered query over a wide column is still answered
 DENSE_NB = 256  # one-hot bucket budget (O(rows * nb) VPU work)
 
 
@@ -624,13 +632,19 @@ class Program:
                             tflat=tflat, chain=sub_chain, bchain=bchain)
             return
         if isinstance(node, A.TopHitsAgg):
-            col = self._col(node.sort_field)
-            if col.multi:
-                raise TypeError("top_hits sort field must be single-valued")
             if in_slot and (self._sharded or tflat > 4096):
                 raise NotImplementedError(
                     "top_hits under bucket aggs: sharded meshes / huge "
                     "bucket spaces answer through the exact host fallback")
+            if node.sort_field is None:
+                # score order (§A.10): constant scores, doc-order selection
+                self.plan[path] = {"kind": "top_hits", "hdims": hdims,
+                                   "k": min(node.size, self.dindex.T),
+                                   "in_slot": in_slot, "score": True}
+                return
+            col = self._col(node.sort_field)
+            if col.multi:
+                raise TypeError("top_hits sort field must be single-valued")
             self._need_col_planes(col)
             self.plan[path] = {"kind": "top_hits", "hdims": hdims,
                                "k": min(node.size, self.dindex.T),
@@ -784,9 +798,11 @@ class Program:
                 lo, hi, float(node.interval), float(node.offset))
             nb = len(bounds_mono) + 1
             if nb > MAX_HIST_NB_HOST:
-                raise ValueError(
-                    f"f64 histogram would span {nb} buckets; raise the "
-                    "interval")
+                # not a plan-time user error: the refusal condition is the
+                # oracle's REALIZED-span ceiling, applied on the host path
+                raise NotImplementedError(
+                    f"f64 histogram column spans {nb} buckets; host path "
+                    "applies the realized-span ceiling")
             if nb > MAX_HIST_NB:
                 raise NotImplementedError(
                     f"f64 histogram would span {nb} buckets on device "
@@ -803,8 +819,10 @@ class Program:
         k_max = (hi_u - off) // iv
         nb = k_max - k_min + 1
         if nb > MAX_HIST_NB_HOST:
-            raise ValueError(
-                f"histogram would span {nb} buckets; raise the interval")
+            # see the f64 branch: host path applies the realized-span ceiling
+            raise NotImplementedError(
+                f"histogram column spans {nb} buckets; host path applies "
+                "the realized-span ceiling")
         # j = (w - w_base) // iv with w_base = (off + k_min*iv) - lo_u <= 0
         w_base = (off + k_min * iv) - lo_u
         span_num = col.span - w_base
@@ -1840,14 +1858,19 @@ class Program:
         """Per-bucket top hits: one batched 3-key sort with the flat slot id
         as the leading key, then a contiguous per-slot gather (slots are
         runs in the sorted order)."""
-        field = node.sort_field
-        planes = self._planes_only(field, arrays)
-        rm = self._recon_rm(field, planes)
         ns = ctx.nslots
         k = min(p["k"], self._lT)
         rows_doc = None if ctx.rows_are_docs else ctx.doc
-        rm_rows = rm if rows_doc is None else rm[rows_doc]
-        key = rm_rows if node.ascending else ~rm_rows
+        if p.get("score"):
+            # score order: constant key, (slot, doc) tie-break does it all
+            key = jnp.zeros(self._lT if rows_doc is None
+                            else rows_doc.shape[0], dtype=I64)
+        else:
+            field = node.sort_field
+            planes = self._planes_only(field, arrays)
+            rm = self._recon_rm(field, planes)
+            rm_rows = rm if rows_doc is None else rm[rows_doc]
+            key = rm_rows if node.ascending else ~rm_rows
         skey = jnp.where(ctx.valid & (ctx.bid >= 0),
                          ctx.bid.astype(I32), ns)
         doc = (jnp.arange(self._lT, dtype=I64) if rows_doc is None
@@ -1873,15 +1896,20 @@ class Program:
     def _eval_top_hits(self, node, ctx, arrays, path, p):
         if not isinstance(ctx, MaskCtx):
             return self._eval_top_hits_slots(node, ctx, arrays, path, p)
-        field = node.sort_field
-        planes = self._planes_only(field, arrays)
-        rm = self._recon_rm(field, planes)
         # matched-ness is an explicit leading sort key, NOT a value sentinel:
         # on wide columns the descending key ~rm of the column-min doc equals
         # I64_MAX exactly, so a sentinel would tie matched rows with
         # unmatched ones and let the doc-id tie-break pick a non-match
         inv = jnp.where(ctx.mask, 0, 1).astype(I32)
-        key = rm if node.ascending else ~rm
+        if p.get("score"):
+            # score order (§A.10): constant key; doc tie-break selects the
+            # first-k matched docs
+            key = jnp.zeros(self._lT, dtype=I64)
+        else:
+            field = node.sort_field
+            planes = self._planes_only(field, arrays)
+            rm = self._recon_rm(field, planes)
+            key = rm if node.ascending else ~rm
         doc = jnp.arange(self._lT, dtype=I64)
         if self._sharded:
             doc = doc + jax.lax.axis_index("d").astype(I64) * self._lT
@@ -2366,11 +2394,15 @@ class Program:
         starts = self.dindex.seg_starts
         hits = []
         for kk, dd in zip(keys.tolist(), docs.tolist()):
-            rm = int(kk) if node.ascending else int(~np.int64(kk))
-            mono = self._mono_from_mm(p, rm)
             si = int(np.searchsorted(starts, dd, side="right")) - 1
-            hits.append({"segment": si, "doc": int(dd - starts[si]),
-                         "value": self._user_scalar(p["ftype"], mono)})
+            hit = {"segment": si, "doc": int(dd - starts[si])}
+            if p.get("score"):
+                hit["score"] = 1.0  # scoring-disabled constant score (§A.10)
+            else:
+                rm = int(kk) if node.ascending else int(~np.int64(kk))
+                mono = self._mono_from_mm(p, rm)
+                hit["value"] = self._user_scalar(p["ftype"], mono)
+            hits.append(hit)
         return {"hits": hits}
 
 

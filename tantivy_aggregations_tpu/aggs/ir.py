@@ -164,11 +164,17 @@ class PostFilterAgg(Agg):
 
 @dataclass(frozen=True)
 class TopHitsAgg(Agg):
-    """Top-`size` docs ordered by a fast field (C13; optional in the
-    reference). Returns (key, doc addresses)."""
+    """Top-`size` docs ordered by a fast field or by score (C13; optional
+    in the reference). Returns (key, doc addresses).
+
+    `sort_field=None` orders by SCORE. Spec choice (SURVEY.md §A.10): this
+    engine runs scoring-disabled (constant score 1.0 for every match), so
+    score order resolves entirely through the doc-address tie-break —
+    hits are the first `size` matched docs in (segment, doc) order, each
+    carrying "score": 1.0. Exact and identical to a tf-less scorer."""
 
     size: int
-    sort_field: str
+    sort_field: Optional[str] = None
     ascending: bool = False
 
 
@@ -243,7 +249,9 @@ def post_filter_agg(query: Query, sub_aggs=None) -> PostFilterAgg:
     return PostFilterAgg(query, sub_aggs)
 
 
-def top_hits_agg(size: int, sort_field: str, ascending: bool = False) -> TopHitsAgg:
+def top_hits_agg(size: int, sort_field: Optional[str] = None,
+                 ascending: bool = False) -> TopHitsAgg:
+    """sort_field=None orders by score (constant-score doc order, §A.10)."""
     return TopHitsAgg(int(size), sort_field, ascending)
 
 
@@ -341,7 +349,8 @@ def validate_agg_tree(schema, node) -> None:
             validate_agg_tree(schema, sub)
         return
     if isinstance(node, TopHitsAgg):
-        _numeric(node.sort_field, "TopHitsAgg sort")
+        if node.sort_field is not None:
+            _numeric(node.sort_field, "TopHitsAgg sort")
         return
     raise TypeError(f"unknown agg node {type(node)!r}")
 

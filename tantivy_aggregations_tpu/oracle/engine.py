@@ -251,13 +251,7 @@ class OracleSearcher:
         all_keys = (np.concatenate([k for _, _, k in per_seg_rows])
                     if per_seg_rows else np.zeros(0, dtype=np.int64))
         uniq = np.unique(all_keys)
-        if uniq.size and int(uniq[-1]) - int(uniq[0]) + 1 > (1 << 24):
-            # resource-limit spec choice shared with the device planner
-            # (aggs/compile.py MAX_HIST_NB_HOST): histograms spanning more
-            # than 2^24 buckets are refused by BOTH engines
-            raise ValueError(
-                f"histogram would span {int(uniq[-1]) - int(uniq[0]) + 1} "
-                "buckets; raise the interval")
+        self._check_hist_span(agg, uniq)
         out_buckets = []
         for k in uniq.tolist():
             refined = []
@@ -276,6 +270,22 @@ class OracleSearcher:
                 b[name] = self._run_agg_weighted(sub, refined)
             out_buckets.append(b)
         return {"buckets": out_buckets}
+
+    @staticmethod
+    def _check_hist_span(agg: A.HistogramAgg, uniq: np.ndarray) -> None:
+        """Resource-limit spec choice (SURVEY.md §A.5): a histogram whose
+        REALIZED (matched) bucket-index span exceeds 2^24 is refused. This
+        is the one refusal condition for both engines — the device planner
+        routes wide-column trees to the host path (NotImplementedError),
+        where this check decides. Calendar histograms are exempt: their
+        keys are period-start micros, not bucket indices, and the period
+        count is already bounded by utils/calendar.MAX_CAL_MICROS."""
+        if agg.calendar is not None or not uniq.size:
+            return
+        span = int(uniq[-1]) - int(uniq[0]) + 1
+        if span > (1 << 24):
+            raise ValueError(
+                f"histogram would span {span} buckets; raise the interval")
 
     def _exact_bucket_keys(self, ftype: FieldType, vals: np.ndarray,
                            interval, offset, calendar=None) -> np.ndarray:
@@ -382,6 +392,17 @@ class OracleSearcher:
         return {"buckets": out_buckets, "sum_other_doc_count": int(sum_other)}
 
     def _top_hits(self, agg: A.TopHitsAgg, per_seg) -> dict:
+        if agg.sort_field is None:
+            # score order (§A.10): scoring-disabled constant score 1.0, so
+            # order is the doc-address tie-break — first `size` matched
+            # docs in (segment, doc) order
+            hits = []
+            for si, (seg, mask) in enumerate(per_seg):
+                for d in np.nonzero(mask)[0].tolist():
+                    hits.append({"segment": si, "doc": d, "score": 1.0})
+                    if len(hits) >= agg.size:
+                        return {"hits": hits}
+            return {"hits": hits}
         ftype = self._field_type(agg.sort_field)
         rows = []
         for si, (seg, mask) in enumerate(per_seg):
@@ -533,13 +554,7 @@ class OracleSearcher:
         all_keys = (np.concatenate([k for _, _, k in per_seg_rows])
                     if per_seg_rows else np.zeros(0, dtype=np.int64))
         uniq = np.unique(all_keys)
-        if uniq.size and int(uniq[-1]) - int(uniq[0]) + 1 > (1 << 24):
-            # resource-limit spec choice shared with the device planner
-            # (aggs/compile.py MAX_HIST_NB_HOST): histograms spanning more
-            # than 2^24 buckets are refused by BOTH engines
-            raise ValueError(
-                f"histogram would span {int(uniq[-1]) - int(uniq[0]) + 1} "
-                "buckets; raise the interval")
+        self._check_hist_span(agg, uniq)
         out_buckets = []
         for k in uniq.tolist():
             refined = []

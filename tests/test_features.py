@@ -418,3 +418,25 @@ def test_prefix_query():
     import pytest
     with pytest.raises(TypeError):
         s.agg_search(PrefixQuery("qty", "1"), {"n": count_agg()})
+
+
+def test_top_hits_by_score():
+    """sort_field=None orders by SCORE (§A.10: scoring-disabled constant
+    scores -> first-k matched docs in (segment, doc) order, score 1.0)."""
+    from fixtures import basic_index, random_index
+    idx = basic_index(num_segments=2, with_deletes=True)
+    r = check(idx, MatchAllQuery(), {"th": top_hits_agg(3)})
+    hits = r["th"]["hits"]
+    assert all(h["score"] == 1.0 for h in hits)
+    addrs = [(h["segment"], h["doc"]) for h in hits]
+    assert addrs == sorted(addrs) and len(hits) == 3
+    # filtered query: only matched docs appear
+    r = check(idx, TermQuery("cat", "b"), {"th": top_hits_agg(10)})
+    assert len(r["th"]["hits"]) == 2
+    # under a bucket agg (in-slot selection), vs oracle on random data
+    idx2 = random_index(33, n_docs=300, n_segments=3, card=8)
+    check(idx2, MatchAllQuery(),
+          {"t": terms_agg("cat", size=4,
+                          sub_aggs={"th": top_hits_agg(2)})})
+    check(idx2, RangeQuery("qty", lower=100, upper=700),
+          {"th": top_hits_agg(5)})
