@@ -203,6 +203,18 @@ def main():
     # --- TPU engine --------------------------------------------------------
     searcher = idx.searcher()
     oracle = idx.oracle_searcher()
+    # link floor: median round trip of a tiny device->host pull, so the p50
+    # breakdown separates axon link cost from device time (VERDICT r2 #7)
+    import jax.numpy as jnp
+    tiny = jnp.zeros(8, jnp.int32)
+    tiny.block_until_ready()
+    rtts = []
+    for _ in range(7):
+        t0 = time.time()
+        np.asarray(jax.device_get(tiny))
+        rtts.append(time.time() - t0)
+    link_rtt_ms = statistics.median(rtts) * 1000
+    log(f"[bench] null device->host round trip: {link_rtt_ms:.1f}ms")
     configs = [(i, n, q, a) for i, (n, q, a)
                in enumerate(flagship.judged_configs(), start=1)]
     configs += flagship.extra_configs()  # identity-gated, outside geomean
@@ -219,6 +231,17 @@ def main():
             times.append(time.time() - t0)
         tpu_results[i] = r
         tpu_p50[i] = statistics.median(times)
+        # phase breakdown of one representative sequential call
+        # (EngineConfig is frozen; swap a stats-enabled copy in and out)
+        import dataclasses
+        plain_cfg = searcher.config
+        searcher.config = dataclasses.replace(plain_cfg, collect_stats=True)
+        searcher.agg_search(query, aggs)
+        st = searcher.last_stats
+        searcher.config = plain_cfg
+        log(f"[bench] tpu c{i} p50 breakdown: prepare {st.prepare_ms:.2f}ms, "
+            f"dispatch {st.dispatch_ms:.2f}ms, execute+link {st.wait_ms:.2f}ms "
+            f"(link rtt ~{link_rtt_ms:.1f}ms), harvest {st.harvest_ms:.2f}ms")
         # sustained msearch throughput over VARIED query params: same query
         # SHAPE, rotating parameter values (term values / range bounds), so
         # the measured qps demonstrates the serving pattern — one compiled

@@ -60,6 +60,7 @@ from .aggs.ir import (  # noqa: E402
     histogram_agg,
     date_histogram_agg,
     terms_agg,
+    facet_agg,
     filter_agg,
     post_filter_agg,
     top_hits_agg,
@@ -97,6 +98,7 @@ __all__ = [
     "histogram_agg",
     "date_histogram_agg",
     "terms_agg",
+    "facet_agg",
     "filter_agg",
     "post_filter_agg",
     "top_hits_agg",

@@ -367,10 +367,10 @@ class Program:
         if col.multi:
             self._need(f"{col.name}:doc", col.doc_id)
             self._need(f"{col.name}:valid", col.valid)
-            if col.multi_planes is not None:
+            if col.has_multi_planes:
                 for kk, pk in enumerate(col.multi_planes):
                     self._need(f"{col.name}:mp{kk}", pk)
-            if col.tail_w is not None:
+            if col.has_tail:
                 self._need(f"{col.name}:tw", col.tail_w)
                 self._need(f"{col.name}:tdoc", col.tail_doc)
 
@@ -395,8 +395,7 @@ class Program:
         overflow tail). This is what gates the prefix/rank fast paths."""
         for f in self._chain_fields(chain):
             col = self._col(f)
-            if col.multi and (col.multi_planes is None
-                              or col.tail_w is not None):
+            if col.multi and (not col.has_multi_planes or col.has_tail):
                 return False
         return True
 
@@ -416,7 +415,7 @@ class Program:
             col = self._col(f)
             if col.multi:
                 keys += [f"{f}:mp{kk}"
-                         for kk in range(len(col.multi_planes))]
+                         for kk in range(len(col.multi_planes_host))]
             elif col.narrow or col.ftype.is_stringy:
                 keys.append(f"{f}:w")
             else:
@@ -457,7 +456,7 @@ class Program:
         for f in self._chain_fields(chain):
             colf = self._col(f)
             if colf.multi:
-                if colf.multi_planes is None or colf.tail_w is not None:
+                if not colf.has_multi_planes or colf.has_tail:
                     raise NotImplementedError(
                         "CSR query field in permuted view")
                 # dense per-position planes are doc-aligned: they permute
@@ -509,7 +508,7 @@ class Program:
 
         def avalid():
             a = self.dindex.alive_host[perm]
-            v = np.asarray(layout.valid_perm)
+            v = layout.valid_perm_host
             return PK.transpose_groups(((a > 0) & (v > 0)).astype(np.int8))
 
         cache("T#avalid", avalid)
@@ -969,6 +968,11 @@ class Program:
                 "(host path handles it)")
         p["card"] = card
         p["keff"] = min(node.size, card)
+        if isinstance(node, A.FacetAgg):
+            # facet: host selection over the full per-ordinal count vector;
+            # the child set is a static slice of the sorted term table
+            p["facet_children"] = self._facet_children(col, node.path)
+            p["keff"] = card
         self._plan_terms_order(node, p)
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
@@ -978,7 +982,8 @@ class Program:
         # per-plane, which is wrong, so they stay unsupported)
         p["plane_fanout"] = (
             not in_slot and col.multi and col.ftype.is_stringy
-            and col.multi_planes is not None and col.tail_w is None
+            and not isinstance(node, A.FacetAgg)
+            and col.has_multi_planes and not col.has_tail
             and tflat * card <= self.dense_nb
             and not self._has_selection_sub(node))
         if p["plane_fanout"]:
@@ -1025,6 +1030,21 @@ class Program:
                                 bchain=sub_bchain if bchain is not None
                                 and sub_bchain is not None else None)
 
+    @staticmethod
+    def _facet_children(col, path: str) -> np.ndarray:
+        """Global ordinals of the immediate children of `path` (terms that
+        start with path+'/' and have no further '/'), from the static
+        sorted term table."""
+        terms = col.terms
+        pfx = (path.rstrip("/") + "/") if path else "/"
+        lo = int(np.searchsorted(terms, pfx, side="left"))
+        succ = qc._prefix_successor(pfx)
+        hi = (int(np.searchsorted(terms, succ, side="left"))
+              if succ is not None else len(terms))
+        return np.asarray(
+            [j for j in range(lo, hi)
+             if "/" not in str(terms[j])[len(pfx):]], dtype=np.int64)
+
     def _plan_terms_order(self, node, p):
         """Pick the selection mode for a terms agg's `order`:
         - "topk": default (count desc, key asc) composite-key lax.top_k;
@@ -1036,6 +1056,9 @@ class Program:
           values and selects host-side (avg, f64 sums, limb-plane sums)."""
         target, direction = node.order
         p["order"] = node.order
+        if isinstance(node, A.FacetAgg):
+            p["sel"] = "host"  # full count vector; children picked at harvest
+            return
         if node.order == ("_count", "desc"):
             p["sel"] = "topk"
             return
@@ -1651,7 +1674,7 @@ class Program:
             per_plane = []
             self._defer_topk += 1
             try:
-                for kk in range(len(col.multi_planes)):
+                for kk in range(len(col.multi_planes_host)):
                     pk = arrays[f"{field}:mp{kk}"]
                     valid_k = ctx.mask & (pk >= 0)
                     sub_ctx = SlotCtx(pk, valid_k, (card,), True, None,
@@ -2146,6 +2169,8 @@ class Program:
             return self._harvest_percentiles(node, raw, path, prefix)
         if isinstance(node, A.HistogramAgg):
             return self._harvest_histogram(node, raw, path, prefix)
+        if isinstance(node, A.FacetAgg):
+            return self._harvest_facet(node, raw, path, prefix)
         if isinstance(node, A.TermsAgg):
             return self._harvest_terms(node, raw, path, prefix)
         if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
@@ -2305,6 +2330,8 @@ class Program:
         return {"buckets": buckets}
 
     def _term_key_user(self, p, tid: int):
+        if p["ftype"] == FieldType.BYTES:
+            return bytes(p["keys"][tid])
         if p["ftype"].is_stringy:
             return str(p["keys"][tid])
         return self._user_scalar(p["ftype"], int(p["keys_mono"][tid]))
@@ -2344,6 +2371,19 @@ class Program:
         return {"buckets": buckets,
                 "sum_other_doc_count": int(cvec.sum()) - shown}
 
+    def _harvest_facet(self, node, raw, path, prefix):
+        """Facet harvest (§A.12): slice the full per-ordinal count vector
+        to the static child ordinals, order (count desc, path asc)."""
+        p = self.plan[path]
+        card, hdims = p["card"], p["hdims"]
+        base = int(np.ravel_multi_index(prefix, hdims)) if prefix else 0
+        cvec = np.asarray(raw["counts"]).reshape(-1, card)[base]
+        rows = [(str(p["keys"][j]), int(cvec[j]))
+                for j in p["facet_children"] if cvec[j] > 0]
+        rows.sort(key=lambda kv: (-kv[1], kv[0]))
+        return {"buckets": [{"key": k, "doc_count": c}
+                            for k, c in rows[: node.size]]}
+
     def _harvest_terms(self, node, raw, path, prefix):
         p = self.plan[path]
         if p["sel"] == "host":
@@ -2363,10 +2403,7 @@ class Program:
             if c == 0:
                 continue
             tid = int(ids[flat])
-            if ftype.is_stringy:
-                key = str(p["keys"][tid])
-            else:
-                key = self._user_scalar(ftype, int(p["keys_mono"][tid]))
+            key = self._term_key_user(p, tid)
             shown += c
             b = {"key": key, "doc_count": c}
             for name, sub in node.sub_aggs:

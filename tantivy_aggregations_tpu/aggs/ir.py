@@ -136,6 +136,25 @@ class TermsAgg(Agg):
 
 
 @dataclass(frozen=True)
+class FacetAgg(TermsAgg):
+    """Hierarchical facet counts (tantivy's FacetCollector analog, SURVEY.md
+    §2.2 T1): buckets are the immediate CHILDREN of `path` in a FACET
+    field, counted inclusively of all descendants (the writer indexes every
+    ancestor prefix per doc exactly once, so a child's count is its own
+    per-ordinal count). Subclasses TermsAgg so it rides the terms planning
+    and count machinery; selection is always on the host over the full
+    per-ordinal count vector (the child set is a static term-table slice).
+    Order: (count desc, path asc); truncated to `size` (0 = all children).
+    No sub-aggs (reference facet collectors count only)."""
+
+    path: str = ""
+
+    def __init__(self, field, path="", size=0):
+        TermsAgg.__init__(self, field, size=(int(size) if size else 1 << 30))
+        object.__setattr__(self, "path", str(path))
+
+
+@dataclass(frozen=True)
 class FilterAgg(Agg):
     """Sub-aggs restricted to docs matching both the outer query and
     `query` — a vectorized AND of masks (SURVEY.md §3.4). C11."""
@@ -241,6 +260,12 @@ def terms_agg(field: str, size: int = 10, sub_aggs=None,
     return TermsAgg(field, size, sub_aggs, order)
 
 
+def facet_agg(field: str, path: str = "", size: int = 0) -> FacetAgg:
+    """Counts per immediate child of `path` in a facet field (size=0: all
+    children). Counts are doc-inclusive of descendants."""
+    return FacetAgg(field, path, size)
+
+
 def filter_agg(query: Query, sub_aggs=None) -> FilterAgg:
     return FilterAgg(query, sub_aggs)
 
@@ -321,6 +346,15 @@ def validate_agg_tree(schema, node) -> None:
         for _, sub in node.sub_aggs:
             validate_agg_tree(schema, sub)
         return
+    if isinstance(node, FacetAgg):
+        entry = schema.field(node.field)
+        if entry.type != FieldType.FACET:
+            raise TypeError(f"FacetAgg requires a facet field, but "
+                            f"{node.field!r} is {entry.type.value}")
+        if node.path:
+            from ..index.writer import facet_prefixes
+            facet_prefixes(node.path)  # validates "/a/b" shape
+        return
     if isinstance(node, TermsAgg):
         entry = schema.field(node.field)
         if not entry.fast:
@@ -381,6 +415,8 @@ def structural_key(node) -> tuple:
         return ("histogram", node.field, node.interval, node.offset,
                 node.calendar,
                 tuple((k, structural_key(v)) for k, v in node.sub_aggs))
+    if isinstance(node, FacetAgg):
+        return ("facet", node.field, node.path, node.size)
     if isinstance(node, TermsAgg):
         return ("terms", node.field, node.size, node.order,
                 tuple((k, structural_key(v)) for k, v in node.sub_aggs))

@@ -27,6 +27,7 @@ kernels have no int64):
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -58,12 +59,117 @@ def _pad_to(n: int, block: int) -> int:
     return max(block, ((n + block - 1) // block) * block)
 
 
-def _put(arr: np.ndarray, mesh, spec_ndim: int = 1):
+# -- packed host->device transport ------------------------------------------
+# The axon tunnel moves ~3 MB/s; a 10M-doc index is ~600 MB of int32 planes,
+# so raw device_put dominates cold start (measured 206s of a 288s c1 first
+# call, round-3 probe). Every large integer plane is therefore shipped as
+# the minimum number of uint8 byte-planes covering its value RANGE (or one
+# bit-plane for two-valued data) and reassembled in HBM by a tiny jitted
+# unpack program — device shifts are free compared to tunnel bytes. The
+# reconstructed plane is bit-identical to the input.
+
+_PACK_MIN_BYTES = 1 << 20  # don't bother packing small arrays
+
+
+@functools.lru_cache(maxsize=None)
+def _unpack_bytes_fn(nbytes: int, shape, out_dtype: str):
+    def unpack(planes, lo):
+        acc = planes[0].astype(jnp.int32)
+        for k in range(1, nbytes):
+            acc = acc | (planes[k].astype(jnp.int32) << (8 * k))
+        return (acc + lo).astype(out_dtype).reshape(shape)
+    return jax.jit(unpack)
+
+
+@functools.lru_cache(maxsize=None)
+def _unpack_bits_fn(shape, out_dtype: str):
+    def unpack(bits, lo):
+        # np.packbits is MSB-first within each byte
+        b = (bits[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8)[None, :]) & 1
+        return (b.reshape(-1).astype(jnp.int32) + lo) \
+            .astype(out_dtype).reshape(shape)
+    return jax.jit(unpack)
+
+
+def _put_local_packed(a):
+    """jnp.asarray with range-based byte/bit packing over the tunnel."""
+    a = np.asarray(a)
+    if (a.dtype not in (np.int8, np.int32, np.uint8)
+            or a.nbytes < _PACK_MIN_BYTES or a.size == 0):
+        return jnp.asarray(a)
+    flat = a.reshape(-1)
+    lo = int(flat.min())
+    span = int(flat.max()) - lo
+    nbits = max(span.bit_length(), 1)
+    out_dtype = a.dtype.name
+    if span <= 1 and flat.size % 8 == 0:
+        bits = np.packbits(flat != lo)
+        return _unpack_bits_fn(a.shape, out_dtype)(
+            jnp.asarray(bits), jnp.int32(lo))
+    nbytes = (nbits + 7) // 8
+    if nbytes >= a.dtype.itemsize:
+        return jnp.asarray(a)
+    u = (flat.astype(np.int64) - lo).astype(np.uint64)
+    planes = np.empty((nbytes, flat.size), np.uint8)
+    for k in range(nbytes):
+        planes[k] = (u >> np.uint64(8 * k)).astype(np.uint8)
+    return _unpack_bytes_fn(nbytes, a.shape, out_dtype)(
+        jnp.asarray(planes), jnp.int32(lo))
+
+
+def _put(arr, mesh, spec_ndim: int = 1):
     if mesh is None:
-        return jnp.asarray(arr)
+        return _put_local_packed(arr)
     from jax.sharding import NamedSharding, PartitionSpec as P
     spec = P("d", *([None] * (spec_ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _derive_limbs_fn(narrow: bool, is_f64: bool, n_limbs: int):
+    """Jitted on-device derivation of the exact-sum 26-bit limb planes from
+    a column's resident compare planes — the device mirror of
+    utils/exact.int_limb_planes / f64_limb_planes (bit-identical, incl.
+    padding rows, which carry the column-min value's limbs on both paths).
+    Runs under an enable_x64(True) scope (XLA int64, no Mosaic here)."""
+    LB, MASK = exact.LIMB_BITS, exact.LIMB_MASK
+    F52 = (1 << 52) - 1
+    SIGN = -(2**63)  # int64 bit pattern 0x8000...
+
+    def fn(planes, min_mono, base_exp):
+        if narrow:
+            u = planes[0].astype(jnp.int64)  # w in [0, span]
+        else:
+            hi = planes[0].astype(jnp.int64) + 2**31
+            lo = planes[1].astype(jnp.int64) + 2**31
+            u = (hi << 32) | lo  # u64 offset w as an int64 bit pattern
+        if not is_f64:
+            # integer path: limbs of the u64 offset w itself
+            return jnp.stack(
+                [(jax.lax.shift_right_logical(u, LB * i) & MASK)
+                 .astype(jnp.int32) for i in range(n_limbs)], axis=-1)
+        # f64: mono = w + min_mono (wraparound) -> IEEE bits -> decompose
+        mono = u + min_mono
+        neg = mono < 0
+        bits = jnp.where(neg, ~(mono ^ SIGN), mono)
+        e = jax.lax.shift_right_logical(bits, 52) & 0x7FF
+        frac = bits & F52
+        mant = jnp.where(e > 0, frac | (1 << 52), frac)
+        e_eff = jnp.maximum(e, 1)
+        shift = jnp.where(mant == 0, 0, e_eff - base_exp.astype(jnp.int64))
+        sgn = jnp.where(neg, jnp.int64(-1), jnp.int64(1))
+        outs = []
+        for i in range(n_limbs):
+            rel = LB * i - shift
+            right = jnp.clip(rel, 0, 63)
+            left = jnp.clip(-rel, 0, 63)
+            limb = jnp.where(rel >= 0,
+                             jax.lax.shift_right_logical(mant, right),
+                             mant << left) & MASK
+            outs.append((limb * sgn).astype(jnp.int32))
+        return jnp.stack(outs, axis=-1)
+
+    return jax.jit(fn)
 
 
 def _split_wide(w_u64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -88,6 +194,7 @@ class OrderedLayout:
     #: for bucket layouts: 32-aligned row offsets per bucket id [card+1]
     bounds: Optional[np.ndarray] = None
     valid_perm: Optional[jnp.ndarray] = None  # [R] int8: 0 on padding rows
+    valid_perm_host: Optional[np.ndarray] = None  # host copy (never pull)
     #: for percentile layouts: values in position order (host int64 mono)
     sorted_mono: Optional[np.ndarray] = None
     sorted_mono_dev: Optional[jnp.ndarray] = None
@@ -97,18 +204,19 @@ class OrderedLayout:
 
 @dataclass
 class DeviceColumn:
+    """One loaded column. Device planes (`w`/`hi`/`lo`/`doc_id`/`valid`/
+    `multi_planes`/`tail_*`) are LAZY properties: the host int32 plane is
+    built at load, but nothing crosses the (slow) tunnel until a compiled
+    program actually declares the plane as an input — and then it ships
+    byte/bit-packed (see _put). Structure checks use `has_multi_planes` /
+    `has_tail` so planning never triggers a transfer."""
+
     name: str
     ftype: FieldType
     multi: bool  # True only for CSR storage (real multi-valued fields)
     # -- compare/minmax planes (value rows: [T] dense or [V] CSR) -----------
     narrow: bool = True
-    w: Optional[jnp.ndarray] = None  # int32 [R] (narrow) or None
-    hi: Optional[jnp.ndarray] = None  # int32 [R] (wide)
-    lo: Optional[jnp.ndarray] = None
     # keyword: `w` holds global ordinals (dense: -1 = missing)
-    # -- CSR only -------------------------------------------------------------
-    doc_id: Optional[jnp.ndarray] = None  # int32 [V], shard-local
-    valid: Optional[jnp.ndarray] = None  # int8 [V]
     # -- keyword --------------------------------------------------------------
     terms: Optional[np.ndarray] = None  # global sorted term table (host)
     # -- static metadata ------------------------------------------------------
@@ -121,24 +229,29 @@ class DeviceColumn:
     f64_base_exp: int = 1
     sum_n_limbs: int = 1
     _mesh: Optional[object] = None
-    _sum_limbs: Optional[jnp.ndarray] = None  # [R, L] int32 (lazy)
     _host_values: Optional[np.ndarray] = None  # user-domain, padded layout
     _host_valid: Optional[np.ndarray] = None
     _host_mono: Optional[np.ndarray] = None  # int64 mono, padded layout
     _host_doc: Optional[np.ndarray] = None  # CSR doc ids (padded layout)
     _orig_docs: Optional[np.ndarray] = None  # CSR: global doc per value row
     _orig_values: Optional[np.ndarray] = None  # CSR: values, original order
+    # -- host planes backing the lazy device properties -----------------------
+    _w_host: Optional[np.ndarray] = None   # int32 [R] (narrow / ordinals)
+    _hi_host: Optional[np.ndarray] = None  # int32 [R] (wide)
+    _lo_host: Optional[np.ndarray] = None
+    _valid8_host: Optional[np.ndarray] = None  # int8 [V] (CSR)
     #: dense doc-aligned planes for multi-valued NARROW/keyword fields:
-    #: list of [T] int32 w-planes (-1 = no value at that position), covering
-    #: value positions 0..DENSE_MULTI_K-1 of each doc
-    multi_planes: Optional[list] = None
-    multi_planes_host: Optional[list] = None  # np copies (permuted views)
+    #: [T] int32 w-planes (-1 = no value at that position), positions
+    #: 0..DENSE_MULTI_K-1 of each doc
+    multi_planes_host: Optional[list] = None
     #: overflow tail for docs with more than DENSE_MULTI_K values: the
     #: remaining value rows as a (small) CSR triple — term/range doc masks
     #: are plane compares plus a scatter-or over just these rows
-    tail_w: Optional[jnp.ndarray] = None      # int32 [Vt]
-    tail_doc: Optional[jnp.ndarray] = None    # int32 [Vt], shard-local
-    tail_valid: Optional[jnp.ndarray] = None  # int8 [Vt]
+    _tail_w_host: Optional[np.ndarray] = None
+    _tail_doc_host: Optional[np.ndarray] = None
+    _tail_valid8_host: Optional[np.ndarray] = None
+    #: lazily shipped device arrays, keyed by plane name
+    _dev: Dict[str, jnp.ndarray] = field(default_factory=dict)
     # -- numeric terms dictionary (lazy) --------------------------------------
     _term_ids: Optional[jnp.ndarray] = None
     _term_ids_host: Optional[np.ndarray] = None
@@ -149,12 +262,83 @@ class DeviceColumn:
     # per-doc pre-aggregate planes for CSR metric sub-aggs (lazy, static)
     _doc_preagg: Optional[dict] = None
 
+    # -- lazy device planes ---------------------------------------------------
+
+    def _ship(self, key: str, host, ndim: int = 1):
+        if host is None:
+            return None
+        if key not in self._dev:
+            self._dev[key] = _put(host, self._mesh, ndim)
+        return self._dev[key]
+
+    @property
+    def w(self):
+        return self._ship("w", self._w_host)
+
+    @property
+    def hi(self):
+        return self._ship("hi", self._hi_host)
+
+    @property
+    def lo(self):
+        return self._ship("lo", self._lo_host)
+
+    @property
+    def doc_id(self):
+        return self._ship("doc", self._host_doc)
+
+    @property
+    def valid(self):
+        return self._ship("valid", self._valid8_host)
+
+    @property
+    def has_multi_planes(self) -> bool:
+        return self.multi_planes_host is not None
+
+    @property
+    def multi_planes(self):
+        if self.multi_planes_host is None:
+            return None
+        return [self._ship(f"mp{k}", p)
+                for k, p in enumerate(self.multi_planes_host)]
+
+    @property
+    def has_tail(self) -> bool:
+        return self._tail_w_host is not None
+
+    @property
+    def tail_w(self):
+        return self._ship("tw", self._tail_w_host)
+
+    @property
+    def tail_doc(self):
+        return self._ship("tdoc", self._tail_doc_host)
+
+    @property
+    def tail_valid(self):
+        return self._ship("tvalid", self._tail_valid8_host)
+
     # -- lazy exact-sum limb planes -------------------------------------------
 
     def sum_limbs(self) -> jnp.ndarray:
-        if self._sum_limbs is None:
-            self._sum_limbs = _put(self.sum_limbs_host(), self._mesh, 2)
-        return self._sum_limbs
+        if "limbs" not in self._dev:
+            if self._mesh is None:
+                # derive ON DEVICE from the already-resident compare planes:
+                # limbs are a pure bit function of the mono value, so this
+                # ships ZERO extra tunnel bytes (bit-identical to
+                # sum_limbs_host; see _derive_limbs_fn)
+                planes = (self.w,) if self.narrow else (self.hi, self.lo)
+                fn = _derive_limbs_fn(self.narrow,
+                                      self.ftype == FieldType.F64,
+                                      self.sum_n_limbs)
+                with jax.enable_x64(True):
+                    self._dev["limbs"] = fn(
+                        planes, jnp.int64(self.min_mono),
+                        jnp.int32(self.f64_base_exp))
+            else:
+                self._dev["limbs"] = _put(self.sum_limbs_host(),
+                                          self._mesh, 2)
+        return self._dev["limbs"]
 
     def sum_limbs_host(self) -> np.ndarray:
         if self.ftype == FieldType.F64:
@@ -294,12 +478,22 @@ class DeviceColumn:
             self._bucket_layout = _build_bucket_layout(ids, card, self._mesh)
         return self._bucket_layout
 
+    def global_doc_of_rows(self, T: int) -> np.ndarray:
+        """CSR only: [V] int64 GLOBAL doc id per value row (the stored
+        doc ids are shard-local; add each shard block's doc base). Lets
+        permuted value-row views gather doc-aligned planes per row."""
+        D = _mesh_D(self._mesh)
+        V = self._host_doc.shape[0]
+        base = (np.arange(V, dtype=np.int64) // (V // D)) * (T // D)
+        return self._host_doc.astype(np.int64) + base
+
     def value_layout(self) -> OrderedLayout:
-        """Rows sorted by value (mono order) for rank-selection percentiles.
-        Sharded meshes sort PER SHARD chunk (the permutation never crosses
-        shard boundaries); rank selection then runs as a cross-shard
-        bisection over the static value domain (aggs/compile.py
-        _eval_percentiles, pmode 'rank' + 'bisect')."""
+        """Rows (docs for dense columns, VALUE rows for CSR) sorted by value
+        (mono order) for rank-selection percentiles. Sharded meshes sort PER
+        SHARD chunk (the permutation never crosses shard boundaries — CSR
+        value rows are already partitioned by owning shard); rank selection
+        then runs as a cross-shard bisection over the static value domain
+        (aggs/compile.py _eval_percentiles, pmode 'rank' + 'bisect')."""
         if self._value_layout is None:
             m = self._host_mono
             valid = self._host_valid
@@ -318,6 +512,7 @@ class DeviceColumn:
                 self._value_layout = OrderedLayout(
                     perm=perm_p, n_rows=R,
                     valid_perm=_put(vp, self._mesh, 1),
+                    valid_perm_host=vp,
                     sorted_mono=key[perm],
                     sorted_mono_dev=None)
             else:
@@ -333,6 +528,7 @@ class DeviceColumn:
                 self._value_layout = OrderedLayout(
                     perm=perm, n_rows=n,
                     valid_perm=_put(vp, self._mesh, 1),
+                    valid_perm_host=vp,
                     sorted_mono=key[perm],
                     sorted_mono_dev=None)
         return self._value_layout
@@ -386,7 +582,8 @@ def _build_bucket_layout(ids: np.ndarray, card: int, mesh) -> OrderedLayout:
         valid[pos] = 1
         return OrderedLayout(perm=perm, n_rows=R,
                              bounds=(bounds // ALIGN).astype(I32),
-                             valid_perm=_put(valid, mesh, 1))
+                             valid_perm=_put(valid, mesh, 1),
+                             valid_perm_host=valid)
     T = ids.shape[0]
     chunk = T // D
     parts = [_bucket_layout_chunk(ids[s * chunk:(s + 1) * chunk], card)
@@ -403,7 +600,8 @@ def _build_bucket_layout(ids: np.ndarray, card: int, mesh) -> OrderedLayout:
         bounds[s] = b
     return OrderedLayout(perm=perm, n_rows=D * R_loc,
                          bounds=(bounds // ALIGN).astype(I32),
-                         valid_perm=_put(valid, mesh, 1))
+                         valid_perm=_put(valid, mesh, 1),
+                         valid_perm_host=valid)
 
 
 @dataclass
@@ -413,19 +611,38 @@ class DeviceIndex:
     T: int
     n_docs: int
     total_values: int
-    alive: jnp.ndarray  # [T] int8; 0 on padding and deleted docs
     columns: Dict[str, DeviceColumn]
     seg_starts: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
     mesh: Optional[object] = None
     n_shards: int = 1
-    #: host alive copy for building permuted views
+    #: host alive copy ([T] int8; 0 on padding and deleted docs)
     alive_host: Optional[np.ndarray] = None
+    _alive_dev: Optional[jnp.ndarray] = None
+    #: deferred per-column builders (name -> thunk); columns build on first
+    #: access so cold start pays host prep + tunnel bytes only for fields a
+    #: program actually touches
+    _col_builders: Dict[str, object] = field(default_factory=dict)
+    _max_addends: int = 1
+
+    @property
+    def alive(self) -> jnp.ndarray:
+        """[T] int8 device mask, shipped (bit-packed) on first use."""
+        if self._alive_dev is None:
+            self._alive_dev = _put(self.alive_host, self.mesh)
+        return self._alive_dev
 
     def column(self, name: str) -> DeviceColumn:
-        try:
-            return self.columns[name]
-        except KeyError:
+        col = self.columns.get(name)
+        if col is not None:
+            return col
+        build = self._col_builders.get(name)
+        if build is None:
             raise KeyError(f"field {name!r} not loaded (not FAST or unknown)")
+        col = build()
+        if col.ftype.is_numeric:
+            _plan_sums(col, self._max_addends)
+        self.columns[name] = col
+        return col
 
     def keyword_ord(self, field: str, term: str) -> int:
         col = self.column(field)
@@ -436,6 +653,11 @@ class DeviceIndex:
 
 
 def load_device_index(index, mesh=None) -> DeviceIndex:
+    """Columns are DEFERRED: this registers a builder per fast field and
+    returns immediately (alive mask + metadata only). Each column's host
+    prep (concat, mono planes, CSR partition, dense multi planes) runs on
+    its first `column()` access — cold start pays only for the fields the
+    compiled programs actually touch."""
     schema: Schema = index.schema
     segments = index.segments
     if mesh is not None and tuple(mesh.axis_names) != ("d",):
@@ -450,36 +672,41 @@ def load_device_index(index, mesh=None) -> DeviceIndex:
         alive[pos:pos + s.max_doc] = s.alive_mask()
         pos += s.max_doc
 
-    columns: Dict[str, DeviceColumn] = {}
+    builders: Dict[str, object] = {}
     total_values = 0
     for entry in schema.fields:
         if not entry.fast:
             continue
+        # per-field value count from CSR metadata alone (no value pass)
+        nv = sum(int(s.fields[entry.name].values.shape[0]) for s in segments)
+        total_values = max(total_values, nv)
         if entry.type.is_stringy:
             if entry.cardinality == Cardinality.SINGLE:
-                col = _load_keyword_dense(entry, segments, T, mesh)
+                builders[entry.name] = (
+                    lambda e=entry: _load_keyword_dense(e, segments, T, mesh))
             else:
-                col = _load_csr(entry, segments, T, D, mesh, keyword=True)
+                builders[entry.name] = (
+                    lambda e=entry: _load_csr(e, segments, T, D, mesh,
+                                              keyword=True))
         elif any(s.fields[entry.name].offsets is not None for s in segments):
-            col = _load_csr(entry, segments, T, D, mesh, keyword=False)
+            builders[entry.name] = (
+                lambda e=entry: _load_csr(e, segments, T, D, mesh,
+                                          keyword=False))
         else:
-            col = _load_numeric_single(entry, segments, T, mesh)
-        columns[entry.name] = col
-        total_values = max(total_values, col.n_values)
+            builders[entry.name] = (
+                lambda e=entry: _load_numeric_single(e, segments, T, mesh))
 
     if max(total_values, n_docs) >= exact.MAX_ADDENDS:
         raise ValueError("index exceeds the exact-sum addend bound (2^36)")
-    for col in columns.values():
-        if col.ftype != FieldType.KEYWORD:
-            _plan_sums(col, max(total_values, n_docs))
 
     seg_starts = (np.cumsum([0] + [s.max_doc for s in segments])[:-1]
                   if segments else np.zeros(1))
     return DeviceIndex(schema=schema, epoch=index.epoch, T=T, n_docs=n_docs,
-                       total_values=total_values,
-                       alive=_put(alive, mesh), columns=columns,
+                       total_values=total_values, columns={},
                        seg_starts=np.asarray(seg_starts, np.int64),
-                       mesh=mesh, n_shards=D, alive_host=alive)
+                       mesh=mesh, n_shards=D, alive_host=alive,
+                       _col_builders=builders,
+                       _max_addends=max(total_values, n_docs))
 
 
 def _plan_sums(col: DeviceColumn, max_addends: int) -> None:
@@ -537,9 +764,9 @@ def _load_numeric_single(entry, segments, T, mesh) -> DeviceColumn:
         min_mono=min_mono, max_mono=max_mono, span=span, n_values=n,
         _mesh=mesh, _host_values=host, _host_valid=hvalid, _host_mono=mono_p)
     if narrow:
-        col.w = _put(a, mesh)
+        col._w_host = a
     else:
-        col.hi, col.lo = _put(a, mesh), _put(b, mesh)
+        col._hi_host, col._lo_host = a, b
     return col
 
 
@@ -563,10 +790,10 @@ def _load_keyword_dense(entry, segments, T, mesh) -> DeviceColumn:
         base += s.max_doc
     n = int((ords >= 0).sum())
     col = DeviceColumn(
-        name=name, ftype=FieldType.KEYWORD, multi=False, narrow=True,
+        name=name, ftype=entry.type, multi=False, narrow=True,
         terms=gterms, n_values=n, _mesh=mesh,
         _host_mono=ords.astype(np.int64), _host_valid=ords >= 0)
-    col.w = _put(ords, mesh)
+    col._w_host = ords
     return col
 
 
@@ -641,18 +868,17 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
         _mesh=mesh, _host_values=host_out, _host_valid=valid_out,
         _host_mono=mono_out, _host_doc=doc_out,
         _orig_docs=docs.astype(np.int64), _orig_values=vals)
-    col.doc_id = _put(doc_out, mesh)
-    col.valid = _put(valid_out.astype(np.int8), mesh)
+    col._valid8_host = valid_out.astype(np.int8)
     if keyword:
         col.narrow = True
-        col.w = _put(np.where(valid_out, mono_out, -1).astype(I32), mesh)
+        col._w_host = np.where(valid_out, mono_out, -1).astype(I32)
     else:
         narrow, a, b = _mono_planes(mono_out, min_mono, span)
         col.narrow = narrow
         if narrow:
-            col.w = _put(a, mesh)
+            col._w_host = a
         else:
-            col.hi, col.lo = _put(a, mesh), _put(b, mesh)
+            col._hi_host, col._lo_host = a, b
 
     # doc-aligned dense planes for narrow/keyword multi fields (value
     # positions 0..DENSE_MULTI_K-1), plus a sparse overflow tail for docs
@@ -667,15 +893,12 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
             wvals = _w_u64(m, min_mono).astype(np.int64)
         offs_g = np.zeros(T + 1, np.int64)
         np.cumsum(cnt, out=offs_g[1:])
-        planes, planes_host = [], []
+        planes_host = []
         for k in range(max(min(kmax, DENSE_MULTI_K), 1)):
             pk = np.full(T, -1, np.int64)
             has = cnt > k
             pk[has] = wvals[offs_g[:-1][has] + k]
-            pk = pk.astype(I32)
-            planes_host.append(pk)
-            planes.append(_put(pk, mesh))
-        col.multi_planes = planes
+            planes_host.append(pk.astype(I32))
         col.multi_planes_host = planes_host
         if kmax > DENSE_MULTI_K:
             # overflow rows: value positions >= DENSE_MULTI_K of each doc
@@ -685,9 +908,9 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
             t_w = wvals[sel].astype(I32)
             tw, tdoc, tvalid = _shard_partition_csr(
                 t_w, t_docs, T, D, fill=np.int32(-1))
-            col.tail_w = _put(tw, mesh)
-            col.tail_doc = _put(tdoc, mesh)
-            col.tail_valid = _put(tvalid.astype(np.int8), mesh)
+            col._tail_w_host = tw
+            col._tail_doc_host = tdoc
+            col._tail_valid8_host = tvalid.astype(np.int8)
     return col
 
 

@@ -90,8 +90,14 @@ def write_segment(seg: Segment, schema: Schema, dirpath: str) -> None:
                 os.path.join(dirpath, f"{name}.offsets.bin"))
         if fd.terms is not None:
             finfo["num_terms"] = len(fd.terms)
+            terms = fd.terms
+            if entry.type == FieldType.BYTES:
+                # bytes terms round-trip through JSON via latin-1 (a
+                # bijection between bytes 0..255 and U+0000..U+00FF)
+                finfo["bytes_terms"] = True
+                terms = [t.decode("latin-1") for t in terms]
             with open(os.path.join(dirpath, f"{name}.terms.json"), "w") as f:
-                json.dump(fd.terms, f, ensure_ascii=False)
+                json.dump(terms, f, ensure_ascii=False)
         meta["fields"][name] = finfo
     if seg.alive is not None:
         seg.alive.astype(np.uint8).tofile(os.path.join(dirpath, "alive.bin"))
@@ -114,6 +120,8 @@ def read_segment(dirpath: str, schema: Schema) -> Segment:
                                   dtype=np.uint32)
             with open(os.path.join(dirpath, f"{name}.terms.json")) as f:
                 terms = json.load(f)
+            if finfo.get("bytes_terms"):
+                terms = [t.encode("latin-1") for t in terms]
             fields[name] = SegmentFieldData(values, offsets, terms)
         else:
             dtype = numeric_dtype(entry.type)

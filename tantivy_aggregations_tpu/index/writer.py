@@ -34,6 +34,35 @@ def _as_value_list(v) -> list:
     return [v]
 
 
+def facet_prefixes(path: str) -> List[str]:
+    """ "/a/b/c" -> ["/a", "/a/b", "/a/b/c"] (every ancestor, §2.2 T1)."""
+    if (not path.startswith("/") or path == "/" or path.endswith("/")
+            or "//" in path):
+        raise ValueError(
+            f"facet path must look like /seg or /seg/seg, got {path!r}")
+    parts = path.split("/")[1:]
+    return ["/" + "/".join(parts[:i + 1]) for i in range(len(parts))]
+
+
+def coerce_bytes(v) -> bytes:
+    """bytes stay raw; str encodes utf-8; anything else is a type error."""
+    from ..schema import stringy_term
+    return stringy_term(FieldType.BYTES, v)
+
+
+def _stringy_doc_terms(ftype: FieldType, vals: list) -> list:
+    """Per-doc term list for a stringy field (shared by both build paths)."""
+    if ftype == FieldType.TEXT:
+        return [t for v in vals for t in tokenize(str(v))]
+    if ftype == FieldType.BYTES:
+        return [coerce_bytes(v) for v in vals]
+    if ftype == FieldType.FACET:
+        # index every ancestor once per doc: facet counts and facet term
+        # queries become plain per-ordinal operations
+        return sorted({p for v in vals for p in facet_prefixes(str(v))})
+    return [str(v) for v in vals]
+
+
 class IndexWriter:
     def __init__(self, index):
         self._index = index
@@ -119,11 +148,7 @@ class IndexWriter:
                     vals = _as_value_list(d.get(name, []))
                     if card == Cardinality.SINGLE and len(vals) > 1:
                         raise ValueError(f"field {name!r} is single-valued")
-                    if ftype == FieldType.TEXT:
-                        per_doc.append([t for v in vals
-                                        for t in tokenize(str(v))])
-                    else:
-                        per_doc.append([str(v) for v in vals])
+                    per_doc.append(_stringy_doc_terms(ftype, vals))
                 terms = sorted({t for vals in per_doc for t in vals})
                 ord_of = {t: i for i, t in enumerate(terms)}
                 offsets = np.zeros(max_doc + 1, dtype=np.uint32)
@@ -178,8 +203,10 @@ class IndexWriter:
                 continue
             col = cols[name]
             if ftype.is_stringy:
-                if ftype == FieldType.TEXT:
-                    per_doc_tokens = [tokenize(str(v)) for v in col]
+                if ftype in (FieldType.TEXT, FieldType.FACET):
+                    per_doc_tokens = [
+                        _stringy_doc_terms(ftype, _as_value_list(v))
+                        for v in col]
                     offsets = np.zeros(max_doc + 1, dtype=np.uint32)
                     np.cumsum([len(t) for t in per_doc_tokens],
                               out=offsets[1:])
@@ -187,12 +214,20 @@ class IndexWriter:
                 elif isinstance(col, tuple):
                     offsets, values = col
                     offsets = np.asarray(offsets, dtype=np.uint32)
-                    values = [str(v) for v in values]
+                    conv = coerce_bytes if ftype == FieldType.BYTES else str
+                    values = [conv(v) for v in values]
                 else:
-                    values = [str(v) for v in col]
+                    conv = coerce_bytes if ftype == FieldType.BYTES else str
+                    values = [conv(v) for v in col]
                     offsets = np.arange(max_doc + 1, dtype=np.uint32)
-                from ..native import encode_terms
-                terms, ords = encode_terms(values)
+                if ftype == FieldType.BYTES:
+                    # the native encoder is str-only; bytes sort raw
+                    terms = sorted(set(values))
+                    ord_of = {t: i for i, t in enumerate(terms)}
+                    ords = [ord_of[v] for v in values]
+                else:
+                    from ..native import encode_terms
+                    terms, ords = encode_terms(values)
                 fields[name] = SegmentFieldData(
                     np.asarray(ords, np.uint32), offsets, terms)
             else:
@@ -219,8 +254,10 @@ class IndexWriter:
         entry = self._schema.field(field)
         fd = seg.fields[field]
         if entry.type.is_stringy:
+            term = (coerce_bytes(value) if entry.type == FieldType.BYTES
+                    else str(value))
             try:
-                ordv = fd.terms.index(str(value))
+                ordv = fd.terms.index(term)
             except ValueError:
                 return np.zeros(seg.max_doc, dtype=bool)
             hit_vals = fd.values == np.uint32(ordv)

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..aggs import ir as A
 from ..query import ir as Q
-from ..schema import FieldType
+from ..schema import FieldType, stringy_term
 from ..index.segment import Segment, numeric_dtype
 from ..utils import exact
 from ..utils import mono as mono_mod
@@ -47,9 +47,9 @@ class OracleSearcher:
             # spec-first (independent of the engine's ordinal-range
             # lowering): a term matches iff it startswith the prefix
             entry = self.schema.field(q.field)
-            if not entry.type.is_stringy:
+            if not entry.type.is_stringy or entry.type == FieldType.BYTES:
                 raise TypeError(
-                    "prefix query requires a keyword or text field")
+                    "prefix query requires a keyword, text, or facet field")
             fd = seg.fields[q.field]
             tmask = np.asarray([t.startswith(q.prefix) for t in fd.terms],
                                dtype=bool)
@@ -76,9 +76,10 @@ class OracleSearcher:
         entry = self.schema.field(field)
         fd = seg.fields[field]
         if entry.type.is_stringy:
+            term = stringy_term(entry.type, value)
             # binary search in the sorted segment-local term table
-            i = np.searchsorted(np.asarray(fd.terms, dtype=object), str(value))
-            if i >= len(fd.terms) or fd.terms[i] != str(value):
+            i = np.searchsorted(np.asarray(fd.terms, dtype=object), term)
+            if i >= len(fd.terms) or fd.terms[i] != term:
                 return np.zeros(seg.max_doc, dtype=bool)
             hit_vals = fd.values == np.uint32(i)
         else:
@@ -96,10 +97,12 @@ class OracleSearcher:
             hi_ord = len(terms) - 1
             if q.lower is not None:
                 side = "left" if q.include_lower else "right"
-                lo_ord = int(np.searchsorted(terms, str(q.lower), side=side))
+                lo_ord = int(np.searchsorted(
+                    terms, stringy_term(entry.type, q.lower), side=side))
             if q.upper is not None:
                 side = "right" if q.include_upper else "left"
-                hi_ord = int(np.searchsorted(terms, str(q.upper), side=side)) - 1
+                hi_ord = int(np.searchsorted(
+                    terms, stringy_term(entry.type, q.upper), side=side)) - 1
             hit = (fd.values >= np.uint32(max(lo_ord, 0))) \
                 & (fd.values <= np.uint32(max(hi_ord, 0))) \
                 if hi_ord >= lo_ord and hi_ord >= 0 \
@@ -189,6 +192,10 @@ class OracleSearcher:
 
         if isinstance(agg, A.HistogramAgg):
             return self._histogram(agg, per_seg)
+
+        if isinstance(agg, A.FacetAgg):
+            return self._facet(agg, [(seg, m.astype(np.int64))
+                                     for seg, m in per_seg])
 
         if isinstance(agg, A.TermsAgg):
             return self._terms(agg, per_seg)
@@ -315,6 +322,33 @@ class OracleSearcher:
         if ftype == FieldType.F64:
             return exact.f64_histogram_key(k, interval, offset)
         return int(offset) + k * int(interval)
+
+    def _facet(self, agg: A.FacetAgg, per_seg_w) -> dict:
+        """Counts per immediate child of agg.path (§A.12). The writer
+        indexes every ancestor prefix once per doc, so a child's count is
+        its own per-ordinal (weighted) count, inclusive of descendants.
+        Non-empty children only, ordered (count desc, path asc), truncated
+        to size."""
+        pfx = (agg.path.rstrip("/") + "/") if agg.path else "/"
+        counter: Dict[str, int] = {}
+        for seg, w in per_seg_w:
+            fd = seg.fields[agg.field]
+            terms = fd.terms or []
+            if not terms:
+                continue
+            reps = np.diff(fd.offsets.astype(np.int64))
+            doc_of_val = np.repeat(np.arange(seg.max_doc), reps)
+            wv = w[doc_of_val].astype(np.int64)
+            counts = np.bincount(fd.values.astype(np.int64),
+                                 weights=wv.astype(np.float64),
+                                 minlength=len(terms)).astype(np.int64)
+            for j, t in enumerate(terms):
+                if (counts[j] > 0 and t.startswith(pfx)
+                        and "/" not in t[len(pfx):]):
+                    counter[t] = counter.get(t, 0) + int(counts[j])
+        ordered = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {"buckets": [{"key": k, "doc_count": c}
+                            for k, c in ordered[: agg.size]]}
 
     def _terms(self, agg: A.TermsAgg, per_seg) -> dict:
         ftype = self._field_type(agg.field)
@@ -482,6 +516,8 @@ class OracleSearcher:
         # occurrences per segment.
         if isinstance(agg, A.HistogramAgg):
             return self._histogram_weighted(agg, per_seg_w)
+        if isinstance(agg, A.FacetAgg):
+            return self._facet(agg, per_seg_w)
         if isinstance(agg, A.TermsAgg):
             return self._terms_weighted(agg, per_seg_w)
 

@@ -78,7 +78,9 @@ def _extract(q, dindex, path, out) -> None:
         col = dindex.column(q.field)
         k = _key(path)
         if entry.type.is_stringy:
-            ordv = dindex.keyword_ord(q.field, str(q.value))
+            from ..schema import stringy_term
+            ordv = dindex.keyword_ord(q.field,
+                                      stringy_term(entry.type, q.value))
             out[k + ":t"] = np.int32(ordv if ordv >= 0 else -2)
             return
         ws = _term_w_params(col, entry.type, q.value)
@@ -95,8 +97,9 @@ def _extract(q, dindex, path, out) -> None:
         return
     if isinstance(q, Q.PrefixQuery):
         entry = dindex.schema.field(q.field)
-        if not entry.type.is_stringy:
-            raise TypeError("prefix query requires a keyword or text field")
+        if not entry.type.is_stringy or entry.type == FieldType.BYTES:
+            raise TypeError(
+                "prefix query requires a keyword, text, or facet field")
         col = dindex.column(q.field)
         k = _key(path)
         # all prefix-extensions form one contiguous run of the sorted term
@@ -117,17 +120,19 @@ def _extract(q, dindex, path, out) -> None:
         col = dindex.column(q.field)
         k = _key(path)
         if entry.type.is_stringy:
+            from ..schema import stringy_term
             # lexicographic range -> inclusive global-ordinal range
             card = len(col.terms)
             lo_ord, hi_ord = 0, card - 1
             if q.lower is not None:
                 side = "left" if q.include_lower else "right"
-                lo_ord = int(np.searchsorted(col.terms, str(q.lower),
-                                             side=side))
+                lo_ord = int(np.searchsorted(
+                    col.terms, stringy_term(entry.type, q.lower), side=side))
             if q.upper is not None:
                 side = "right" if q.include_upper else "left"
-                hi_ord = int(np.searchsorted(col.terms, str(q.upper),
-                                             side=side)) - 1
+                hi_ord = int(np.searchsorted(
+                    col.terms, stringy_term(entry.type, q.upper),
+                    side=side)) - 1
             if card == 0 or hi_ord < lo_ord or hi_ord < 0:
                 lo_ord, hi_ord = 1, 0  # empty
             out[k + ":lo"] = np.int32(lo_ord)
@@ -242,7 +247,7 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
     if isinstance(q, Q.ExistsQuery):
         col = dindex.column(q.field)
         if col.multi:
-            if col.multi_planes is not None:
+            if col.has_multi_planes:
                 # position-0 plane: any value => a first value exists
                 return arrays[prefix + f"{q.field}:mp0"] >= 0
             if prefix:
@@ -259,7 +264,7 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
         col = dindex.column(q.field)
         k = _key(path)
         a = lambda s: arrays[prefix + f"{q.field}:{s}"]
-        if col.multi and col.multi_planes is not None:
+        if col.multi and col.has_multi_planes:
             # multi field with dense per-position planes: OR of doc-aligned
             # compares (works under permuted views too — planes permute like
             # any doc-aligned column); docs with > DENSE_MULTI_K values
@@ -279,9 +284,9 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
                         & (pk <= params[k + ":hi"]) & (pk >= 0))
 
             m = jnp.zeros(T, dtype=bool)
-            for kk in range(len(col.multi_planes)):
+            for kk in range(len(col.multi_planes_host)):
                 m |= cmp32(arrays[prefix + f"{q.field}:mp{kk}"])
-            if col.tail_w is not None:
+            if col.has_tail:
                 # plan guards keep tailed fields out of permuted views
                 m |= R.values_hit_to_doc_mask(
                     cmp32(arrays[f"{q.field}:tw"]),

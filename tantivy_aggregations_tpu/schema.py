@@ -23,6 +23,8 @@ class FieldType(str, Enum):
     DATE = "date"  # stored as u64 microseconds since epoch
     KEYWORD = "keyword"  # exact-match string, dictionary-encoded to ordinals
     TEXT = "text"  # tokenized full text; tokens dictionary-encoded (CSR)
+    BYTES = "bytes"  # exact-match byte strings, dictionary-encoded (T1)
+    FACET = "facet"  # hierarchical paths "/a/b"; ancestors indexed per doc
 
     @property
     def is_numeric(self) -> bool:
@@ -30,12 +32,27 @@ class FieldType(str, Enum):
 
     @property
     def is_stringy(self) -> bool:
-        return self in (FieldType.KEYWORD, FieldType.TEXT)
+        return self in (FieldType.KEYWORD, FieldType.TEXT, FieldType.BYTES,
+                        FieldType.FACET)
 
 
 class Cardinality(str, Enum):
     SINGLE = "single"
     MULTI = "multi"
+
+
+def stringy_term(ftype: FieldType, v):
+    """Canonical coercion of a user-supplied term for a stringy field,
+    shared by the writer, the query compiler, and the oracle: BYTES
+    accepts bytes or str (utf-8-encoded); everything else coerces str()."""
+    if ftype == FieldType.BYTES:
+        if isinstance(v, bytes):
+            return v
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        raise TypeError(
+            f"bytes field value must be bytes or str, got {type(v)!r}")
+    return str(v)
 
 
 @dataclass(frozen=True)
@@ -131,6 +148,23 @@ class SchemaBuilder:
         non-alphanumeric — tantivy's default analyzer behavior). Token
         ordinals are stored CSR like a multi-valued keyword."""
         return self._add(name, FieldType.TEXT, Cardinality.MULTI, fast, indexed)
+
+    def add_bytes_field(self, name, cardinality=Cardinality.SINGLE, fast=True,
+                        indexed=True):
+        """Exact-match byte strings (tantivy's bytes fast field, SURVEY.md
+        §2.2 T1), dictionary-encoded to ordinals exactly like keyword —
+        term order is lexicographic over the raw bytes."""
+        return self._add(name, FieldType.BYTES, Cardinality(cardinality),
+                         fast, indexed)
+
+    def add_facet_field(self, name, fast=True, indexed=True):
+        """Hierarchical facet paths like "/electronics/phones" (SURVEY.md
+        §2.2 T1). The writer indexes every ancestor prefix of each path per
+        doc (deduplicated), so a TermQuery on "/electronics" matches docs
+        faceted anywhere beneath it and facet_agg counts come from plain
+        per-ordinal counts. Always multi-valued."""
+        return self._add(name, FieldType.FACET, Cardinality.MULTI, fast,
+                         indexed)
 
     def build(self) -> Schema:
         return Schema(tuple(self._fields))

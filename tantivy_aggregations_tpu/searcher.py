@@ -92,10 +92,18 @@ class Searcher:
         st.prepare_ms = t.lap()
         if isinstance(prog, _HostFallback):
             out = prog.run(query, aggs)
+            st.device_ms = t.lap()
         else:
             raw = prog.submit(query, aggs)
-            out = prog.finalize(raw, aggs)
-        st.device_ms = t.lap()
+            st.dispatch_ms = t.lap()
+            staged = prog.stage(raw, aggs)
+            import jax
+            import numpy as np
+            np.asarray(jax.device_get(staged[0]))  # block: execute + link
+            st.wait_ms = t.lap()
+            out = prog.finalize(raw, aggs, staged=staged)
+            st.harvest_ms = t.lap()
+            st.device_ms = st.dispatch_ms + st.wait_ms + st.harvest_ms
         st.total_ms = st.prepare_ms + st.device_ms
         self.last_stats = st
         return out

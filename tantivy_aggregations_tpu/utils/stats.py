@@ -28,14 +28,20 @@ class QueryStats:
     device_ms: float = 0.0  # dispatch + execute + transfer (link-inclusive)
     harvest_ms: float = 0.0
     total_ms: float = 0.0
+    #: finer split of device_ms (collect_stats only): host-side dispatch of
+    #: the jitted program vs the blocking wait for execution + the
+    #: device->host fruit transfer (one axon link round trip)
+    dispatch_ms: float = 0.0
+    wait_ms: float = 0.0
     docs_matched: Optional[int] = None
     batch_size: int = 1
     program_cached: bool = True
 
     def as_dict(self) -> dict:
         return {k: getattr(self, k) for k in
-                ("prepare_ms", "device_ms", "harvest_ms", "total_ms",
-                 "docs_matched", "batch_size", "program_cached")}
+                ("prepare_ms", "device_ms", "dispatch_ms", "wait_ms",
+                 "harvest_ms", "total_ms", "docs_matched", "batch_size",
+                 "program_cached")}
 
 
 class _Timer:
