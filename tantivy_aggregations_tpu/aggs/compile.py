@@ -26,16 +26,21 @@ the measured hardware rationale):
   against per-shard sorted planes (_bisect_select_values) — no all-gather,
   no sort, O(log span) tiny psums; sharded non-integer percents resolve
   through the same phase-2 cross-shard bisection over (cum32, vmask)
-  intermediates. ("sort" fallback reconstructs int64 and sorts; it remains
-  only for multi-valued / non-dense-chain fields.)
+  intermediates. Multi-valued (CSR) fields rank-select over VALUE-ROW
+  layouts (every value is a row; the query mask is gathered per row's
+  owning doc), so they ride the same rank/bisect paths. ("sort" fallback
+  remains only for non-dense query chains.)
 - "scatter" fallback for everything else (XLA:CPU executes scatters well).
 
 Nesting compiles to composite bucket slots (SURVEY.md §7 step 4), including
-percentiles/top_hits under bucket aggs (slot_rank / in-slot sort paths).
+percentiles/top_hits under bucket aggs (slot_rank / in-slot sort paths);
+sharded meshes select nested percentiles by per-slot cross-shard bisection
+and nested top_hits by per-shard top-k + one [ns, D*k] merge sort.
 Remaining device limits route to the exact host fallback via
-NotImplementedError at plan time (searcher._HostFallback): sharded
-slot_rank/in-slot selection, bucket aggs nested under a multi-valued
-bucket field, and histograms whose column-span bucket count exceeds
+NotImplementedError at plan time (searcher._HostFallback): non-integer
+percents under bucket aggs on a sharded mesh, bucket aggs nested under a
+multi-valued bucket field, in-slot top_hits over huge (>4096) flat bucket
+spaces, and histograms whose column-span bucket count exceeds
 MAX_HIST_NB_HOST (the host applies the realized-span ceiling — the one
 refusal condition, defined in oracle/engine.py::_check_hist_span).
 """
@@ -425,11 +430,16 @@ class Program:
     # -- permuted views ------------------------------------------------------
 
     def _build_permuted_view(self, layout, prefix, chain, payload_fields,
-                             bucket_fields=()):
+                             bucket_fields=(), row_doc=None):
         """Materialize (cached on the layout) permuted planes for mask
         evaluation + metric payloads (+ ancestor bucket-id recomputation);
-        register them as array inputs."""
-        perm = layout.perm
+        register them as array inputs. For VALUE-ROW layouts over CSR
+        columns, `row_doc` maps rows to their owning GLOBAL doc, and every
+        doc-aligned plane (alive, chain fields, payload preaggs, bucket
+        ids) is gathered per row's doc; padding rows map to doc 0 and are
+        killed by the layout's lvalid plane."""
+        perm = layout.perm if row_doc is None else \
+            row_doc[layout.perm].astype(np.int64)
 
         def cache(key, build):
             if key not in layout.cache:
@@ -491,14 +501,16 @@ class Program:
                 self.plan.setdefault(("payL", prefix, g),
                                      {"L": limbs.shape[1]})
 
-    def _build_ccounts_view(self, layout, prefix, chain):
+    def _build_ccounts_view(self, layout, prefix, chain, row_doc=None):
         """Transposed ([128, R/128] group-major) copies of the chain's
         permuted planes + the combined alive&valid plane, cached on the
         layout — the input layout of the chain_counts Pallas kernel (a
-        cross-SUBLANE sum per 128-row group; see ops/pallas_kernels.py)."""
+        cross-SUBLANE sum per 128-row group; see ops/pallas_kernels.py).
+        `row_doc` as in _build_permuted_view (value-row layouts)."""
         from ..index.loader import _put
         from ..ops import pallas_kernels as PK
-        perm = layout.perm
+        perm = layout.perm if row_doc is None else \
+            row_doc[layout.perm].astype(np.int64)
 
         def cache(key, build):
             if key not in layout.cache:
@@ -631,10 +643,10 @@ class Program:
                             tflat=tflat, chain=sub_chain, bchain=bchain)
             return
         if isinstance(node, A.TopHitsAgg):
-            if in_slot and (self._sharded or tflat > 4096):
+            if in_slot and tflat > 4096:
                 raise NotImplementedError(
-                    "top_hits under bucket aggs: sharded meshes / huge "
-                    "bucket spaces answer through the exact host fallback")
+                    "top_hits under huge bucket spaces answers through "
+                    "the exact host fallback")
             if node.sort_field is None:
                 # score order (§A.10): constant scores, doc-order selection
                 self.plan[path] = {"kind": "top_hits", "hdims": hdims,
@@ -688,19 +700,24 @@ class Program:
         if in_slot:
             # per-bucket percentiles: recompute ancestor bucket slots in the
             # value layout's permuted space (possible when every ancestor
-            # bucket is a dense-mode single-valued field) and rank-select per
-            # slot. Non-integer percents resolve ranks in a second phase
-            # (host rank arithmetic + one device gather). Unsharded only;
-            # anything else answers through the exact host fallback.
+            # bucket is a dense-mode single-valued field) and rank-select
+            # per slot. Non-integer percents resolve ranks in a second phase
+            # (host rank arithmetic + one device gather). Sharded meshes
+            # select via a per-slot cross-shard BISECTION over the same
+            # per-shard value-sorted planes the flat rank path uses — no
+            # all-gather (VERDICT r2 #5); non-integer percents stay on the
+            # host fallback there (phase 2 would ship full per-shard
+            # slot-space intermediates).
             int_p = all(float(q).is_integer() for q in node.percents)
-            ok = (not self._sharded and not col.multi
+            ok = ((not col.multi or col.has_value_rows)
                   and self._chain_is_dense(chain)
                   and bchain is not None and len(bchain) > 0
                   # non-integer percents resolve ranks in phase 2 over FULL
                   # slot-space intermediates, which cannot pass through a
                   # terms ancestor's top-k gather — histogram ancestors only
-                  and (int_p or all(kind == "hist"
-                                    for kind, _, _ in bchain)))
+                  and (int_p or (not self._sharded
+                                 and all(kind == "hist"
+                                         for kind, _, _ in bchain))))
             nslots = 1
             if ok:
                 for kind, f, meta in bchain:
@@ -708,9 +725,9 @@ class Program:
             if not ok or nslots > self.dense_nb:
                 raise NotImplementedError(
                     "percentiles under bucket aggs need dense single-valued "
-                    "ancestors (flat slot space <= dense budget) and an "
-                    "unsharded index on device (the host path handles the "
-                    "rest)")
+                    "ancestors (flat slot space <= dense budget); "
+                    "non-integer percents under a sharded mesh answer "
+                    "through the exact host path")
             p["pmode"] = "slot_rank"
             p["int_percents"] = int_p
             p["bchain"] = bchain
@@ -720,12 +737,24 @@ class Program:
             p["layout"] = layout
             prefix = f"VL:{node.field}#"
             p["prefix"] = prefix
+            row_doc = (col.global_doc_of_rows(self.dindex.T)
+                       if col.multi else None)
             bucket_fields = [f for _, f, _ in bchain]
             self._build_permuted_view(layout, prefix, chain, (),
-                                      bucket_fields=bucket_fields)
+                                      bucket_fields=bucket_fields,
+                                      row_doc=row_doc)
+            p["slot_bisect"] = self._sharded
+            p["span"] = col.span
+            if p["slot_bisect"]:
+                self._need_sorted_value_planes(col, layout, prefix)
             self.plan[path] = p
             return
-        if not col.multi and self._chain_is_dense(chain):
+        if self._chain_is_dense(chain) and (not col.multi
+                                            or col.has_value_rows):
+            # single-valued dense rows, or CSR VALUE rows (every value of
+            # every doc is a row; the query mask is gathered per row's
+            # owning doc) — both rank-select over the value-sorted layout,
+            # and sharded meshes bisect with no all-gather (VERDICT r2 #6)
             p["pmode"] = "rank"
             # integer percents (incl. the ES defaults) resolve ranks inside
             # the main program: no big intermediates leave the device and no
@@ -739,7 +768,11 @@ class Program:
             prefix = f"VL:{node.field}#"
             p["prefix"] = prefix
             p["chain"] = chain
-            self._build_permuted_view(layout, prefix, chain, ())
+            row_doc = (col.global_doc_of_rows(self.dindex.T)
+                       if col.multi else None)
+            p["row_doc"] = row_doc
+            self._build_permuted_view(layout, prefix, chain, (),
+                                      row_doc=row_doc)
             # sharded: selected values come from a cross-shard bisection
             # over the (per-shard sorted) value planes, not from row
             # positions — register the ascending value plane(s)
@@ -758,7 +791,8 @@ class Program:
             if p["pallas_counts"]:
                 p["pkeys"] = self._chain_pkeys(chain)
                 p["ckeys"] = self._chain_plane_keys(chain)
-                self._build_ccounts_view(layout, prefix, chain)
+                self._build_ccounts_view(layout, prefix, chain,
+                                         row_doc=row_doc)
         else:
             p["pmode"] = "sort"
             self._need_col_planes(col)
@@ -1479,8 +1513,8 @@ class Program:
         """Per-bucket percentiles: ancestor bucket slots recomputed in the
         value layout's permuted space; per-slot coarse prefix + rank rows."""
         prefix = p["prefix"]
-        layout = p["layout"]
-        Rn = layout.n_rows
+        # local (shard) row count: layout.n_rows is the global length
+        Rn = arrays[prefix + "lvalid"].shape[0]
         ns = p["nslots"]
         vm = self._perm_mask(p["chain"], params, arrays, prefix, Rn)
         slot = jnp.zeros(Rn, I32)
@@ -1502,13 +1536,14 @@ class Program:
               == jnp.arange(ns, dtype=I32)[None, None, :])
         mvm = vm.reshape(-1, 32)[:, :, None]
         c32 = jnp.where(oh & mvm, 1, 0).sum(axis=1)  # [R/32, ns] int32
-        cum = jnp.cumsum(c32, axis=0)  # [R/32, ns]
-        m_s = cum[-1, :].astype(I64)  # [ns]
+        cum = jnp.cumsum(c32, axis=0)  # [R/32, ns] per-shard prefixes
+        m_s = self._madd(cum[-1, :].astype(I64))  # [ns] GLOBAL counts
         vm8 = vm.astype(jnp.int8)
         slot32 = slot
         if not p["int_percents"]:
             # phase 2 resolves ranks host-side (exact rationals), then one
-            # device gather over these big intermediates
+            # device gather over these big intermediates (unsharded only —
+            # plan-gated)
             return {"m": m_s, "cum": cum, "vm": vm8, "slot": slot32}
 
         ms = jnp.maximum(m_s - 1, 0)  # [ns]
@@ -1519,6 +1554,15 @@ class Program:
             hi = jnp.minimum(lo + 1, ms)
             ranks.extend([lo, hi])
         ranks = jnp.stack(ranks, axis=1)  # [ns, 2P]
+        if p.get("slot_bisect"):
+            # sharded: per-(slot, rank) cross-shard bisection over the
+            # per-shard value-sorted planes — emits VALUES, no all-gather
+            planes = {k: arrays[prefix + k]
+                      for k in (("sv0",) if p["narrow"]
+                                else ("sv0", "sv1"))}
+            vals = _bisect_select_slot_values(planes, vm8, cum, slot32,
+                                              ranks, p, self._madd)
+            return {"m": m_s, "vals": vals}  # [ns], [ns, 2P]
         rows = _slot_rank_select_rows(cum, vm8, slot32, ranks)
         return {"m": m_s, "rows": rows}  # [ns], [ns, 2P]
 
@@ -1880,7 +1924,10 @@ class Program:
     def _eval_top_hits_slots(self, node, ctx, arrays, path, p):
         """Per-bucket top hits: one batched 3-key sort with the flat slot id
         as the leading key, then a contiguous per-slot gather (slots are
-        runs in the sorted order)."""
+        runs in the sorted order). Sharded meshes sort per shard, gather
+        only the k candidates per (shard, slot), and k-way merge with one
+        more [ns, D*k] sort — O(ns * D * k) cross-chip traffic, never
+        O(rows) (VERDICT r2 #5)."""
         ns = ctx.nslots
         k = min(p["k"], self._lT)
         rows_doc = None if ctx.rows_are_docs else ctx.doc
@@ -1898,8 +1945,14 @@ class Program:
                          ctx.bid.astype(I32), ns)
         doc = (jnp.arange(self._lT, dtype=I64) if rows_doc is None
                else rows_doc.astype(I64))
+        if self._sharded:
+            # globalize shard-local doc/row ids (each shard owns one
+            # contiguous doc block, so ties still break on global doc id)
+            doc = doc + jax.lax.axis_index("d").astype(I64) * self._lT
         if not ctx.rows_are_docs:
-            # collapse occurrence weights: one hit per (slot, doc) (§A.9)
+            # collapse occurrence weights: one hit per (slot, doc) (§A.9);
+            # a doc's value rows all live on its owning shard, so the
+            # per-shard collapse is also the global one
             s1, d1, k1 = jax.lax.sort((skey, doc, key), num_keys=2)
             dup = jnp.concatenate([
                 jnp.zeros(1, dtype=bool),
@@ -1912,6 +1965,23 @@ class Program:
                            + jnp.arange(k, dtype=I64)[None, :],
                            s2.shape[0] - 1)
         validk = jnp.arange(k, dtype=I64)[None, :] < m_s[:, None]
+        if self._sharded:
+            # k-way merge of the per-shard candidates: matched-ness leads
+            # (unmatched candidates carry garbage key/doc and sort last)
+            inv = jnp.where(validk, 0, 1).astype(I32)
+            ck, cd = k2[rows], d2[rows]
+            gi = jnp.moveaxis(jax.lax.all_gather(inv, "d"), 1, 0) \
+                .reshape(ns, -1)
+            gk = jnp.moveaxis(jax.lax.all_gather(ck, "d"), 1, 0) \
+                .reshape(ns, -1)
+            gd = jnp.moveaxis(jax.lax.all_gather(cd, "d"), 1, 0) \
+                .reshape(ns, -1)
+            mi, mk, md = jax.lax.sort((gi, gk, gd), dimension=1, num_keys=3)
+            m_s = self._madd(m_s)
+            validk = jnp.arange(k, dtype=I64)[None, :] < m_s[:, None]
+            keys = jnp.where(validk, mk[:, :k], 0)
+            docs = jnp.where(validk, md[:, :k], 0)
+            return {"keys": keys, "docs": docs, "m": m_s}
         keys = jnp.where(validk, k2[rows], 0)
         docs = jnp.where(validk, d2[rows], 0)
         return {"keys": keys, "docs": docs, "m": m_s}
@@ -2241,6 +2311,21 @@ class Program:
             m = int(np.asarray(raw["m"]).reshape(-1)[flat])
             if m == 0:
                 return {"values": {str(q): None for q in node.percents}}
+            if "vals" in raw:
+                # sharded slot bisection emitted the selected VALUES
+                # directly (narrow: w domain; wide: rm domain)
+                vals = np.asarray(raw["vals"]).reshape(
+                    -1, 2 * len(node.percents))[flat]
+                out = {}
+                for i, q in enumerate(node.percents):
+                    _, _, frac = exact.percentile_rank(q, m)
+                    v_lo = self._user_scalar(
+                        ftype, self._mono_from_mm(p, vals[2 * i]))
+                    v_hi = self._user_scalar(
+                        ftype, self._mono_from_mm(p, vals[2 * i + 1]))
+                    out[str(q)] = exact.interpolate(float(v_lo),
+                                                    float(v_hi), frac)
+                return {"values": out}
             rows = np.asarray(raw["rows"] if "rows" in raw
                               else raw["pvals"]).reshape(
                 -1, 2 * len(node.percents))[flat]
@@ -2561,6 +2646,76 @@ def _bisect_select_values(planes, vm8, cum32, ranks, p, madd):
 
     l = _bisect_values(count_lo, t2, -(2**31), 2**31 - 1)
     return (h << 32) + (l + 2**31)  # rm domain (matches wide_recon)
+
+
+def _mcount_slot_at(cum2, vm8, slot32, s, posn):
+    """Matched rows OF SLOT s among the first `posn` permuted rows: cum2
+    [G, ns] inclusive per-32-block PER-SLOT matched-count prefixes (the
+    slot_rank c32 cumsum), plus a slot-conditioned partial-block scan.
+    Returns int64 (local shard count)."""
+    nblk = vm8.shape[0] // 32
+    blk = jnp.minimum(posn // 32, nblk - 1)
+    base = jnp.where(blk > 0,
+                     cum2[jnp.maximum(blk - 1, 0), s], 0).astype(I64)
+    wrow = jax.lax.dynamic_slice(vm8, ((blk * 32).astype(I32),), (32,))
+    srow = jax.lax.dynamic_slice(slot32, ((blk * 32).astype(I32),), (32,))
+    extra = posn - blk * 32  # in [0, 32]
+    win = (wrow > 0) & (srow == s)
+    inner = jnp.sum(jnp.where(jnp.arange(32) < extra, win, False)
+                    .astype(I64))
+    return base + inner
+
+
+def _bisect_select_slot_values(planes, vm8, cum2, slot32, ranks, p, madd):
+    """Per-(slot, rank) cross-shard bisection over the value-sorted layout
+    with SLOT conditioning (sharded slot_rank percentiles): ranks [ns, 2P]
+    0-based; returns int64 [ns, 2P] selected values — narrow columns in
+    the w domain, wide in the rm domain (both as _mono_from_mm expects).
+    Garbage in any slot with zero matches (harvest gates on m_s == 0).
+    Same two-phase structure as _bisect_select_values; every count is a
+    per-shard slot-conditioned prefix lookup psum'd across the mesh."""
+    ns, twoP = ranks.shape
+    Rn = jnp.int64(vm8.shape[0])
+    slots = jnp.repeat(jnp.arange(ns, dtype=I32), twoP)  # [K] lane slots
+    t = ranks.reshape(-1) + 1
+
+    def local_le_plane(plane, x):  # [K] slot-masked local counts <= x
+        def one(s, xi):
+            return _mcount_slot_at(cum2, vm8, slot32, s,
+                                   _ss_right(plane, xi, jnp.int64(0), Rn))
+        return jax.vmap(one)(slots, x)
+
+    if p["narrow"]:
+        span = int(p["span"])
+        w = _bisect_values(
+            lambda x: madd(local_le_plane(planes["sv0"], x)), t, 0, span)
+        return w.reshape(ns, twoP)
+
+    svh, svl = planes["sv0"], planes["sv1"]
+    hi_max = (int(p["span"]) >> 32) - 2**31
+    h = _bisect_values(
+        lambda x: madd(local_le_plane(svh, x)), t, -(2**31), hi_max)
+
+    def local_range(hx):  # per-lane local [a, b) bounds of rows hi == h*
+        def one(hxi):
+            b = _ss_right(svh, hxi, jnp.int64(0), Rn)
+            a = _ss_right(svh, hxi - 1, jnp.int64(0), Rn)
+            return a, b
+        return jax.vmap(one)(hx)
+
+    a, b = local_range(h)
+    gmc_a = madd(jax.vmap(
+        lambda s, ai: _mcount_slot_at(cum2, vm8, slot32, s, ai))(slots, a))
+    t2 = t - gmc_a  # rank within the slot's hi == h* candidate rows
+
+    def count_lo(x):
+        def one(s, ai, bi, xi):
+            pos = _ss_right(svl, xi, ai, bi)
+            return _mcount_slot_at(cum2, vm8, slot32, s, pos)
+        return madd(jax.vmap(one)(slots, a, b, x)) - gmc_a
+
+    l = _bisect_values(count_lo, t2, -(2**31), 2**31 - 1)
+    return ((h << 32) + (l + 2**31)).reshape(ns, twoP)
 
 
 def _rank_select_rows_lazy(cum128, ranks, window_of):

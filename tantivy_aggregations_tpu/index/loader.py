@@ -307,6 +307,14 @@ class DeviceColumn:
         return self._tail_w_host is not None
 
     @property
+    def has_value_rows(self) -> bool:
+        """CSR columns whose padded value rows carry a doc map — the gate
+        for VALUE-ROW OrderedLayouts (rank/bisect percentiles over
+        multi-valued fields; rows partition by owning shard, so per-shard
+        sorts and cross-shard bisection apply unchanged)."""
+        return self.multi and self._host_doc is not None
+
+    @property
     def tail_w(self):
         return self._ship("tw", self._tail_w_host)
 
@@ -516,8 +524,8 @@ class DeviceColumn:
                     sorted_mono=key[perm],
                     sorted_mono_dev=None)
             else:
-                # dense single-valued columns only (plan-gated): n == T,
-                # already a multiple of PAD_BLOCK * D
+                # n is T (dense) or V (CSR value rows); both are multiples
+                # of PAD_BLOCK * D and chunk-partitioned by owning shard
                 chunk = n // D
                 perm = np.concatenate([
                     s * chunk + np.argsort(key[s * chunk:(s + 1) * chunk],

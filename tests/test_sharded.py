@@ -205,3 +205,91 @@ def test_sharded_percentiles_noninteger_bisect(mesh):
     outs = s.agg_search_batch(reqs)
     for (q, a), out in zip(reqs, outs):
         assert out == o.agg_search(q, a)
+
+
+def test_sharded_percentiles_multivalued_bisect(mesh):
+    """Multi-valued (CSR) percentile fields on a mesh take the VALUE-ROW
+    rank path: every value is a row of the value-sorted layout, the query
+    mask is gathered per row's owning doc, and selection is the same
+    cross-shard bisection — no all-gather, no sort (VERDICT r2 #6)."""
+    idx = random_index(15, n_docs=700, n_segments=3)
+    aggs = {"pc": percentiles_agg("counts"),            # u64 multi (CSR)
+            "ps": percentiles_agg("scores"),            # f64 multi (CSR)
+            "pn": percentiles_agg("scores", percents=(2.5, 50.0, 97.5))}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    for k in ("pc", "ps", "pn"):
+        assert prog.plan[("a", k)]["pmode"] == "rank", \
+            f"{k} fell off the value-row rank path: {prog.plan[('a', k)]}"
+        assert prog.plan[("a", k)]["bisect"], k
+    o = idx.oracle_searcher()
+    for q in [MatchAllQuery(), RangeQuery("qty", lower=50, upper=900),
+              TermQuery("cat", "cat0002"),
+              RangeQuery("qty", lower=10**7)]:  # empty: all-None fruit
+        got = s.agg_search(q, aggs)
+        want = o.agg_search(q, aggs)
+        assert got == want, f"\nsharded: {got}\noracle:  {want}"
+    # unsharded takes the same rank path (row selection, no device sort)
+    s1 = idx.searcher()
+    prog1 = s1._program_for(MatchAllQuery(), aggs)
+    assert prog1.plan[("a", "pc")]["pmode"] == "rank"
+    assert not prog1.plan[("a", "pc")]["bisect"]
+    for q in [MatchAllQuery(), TermQuery("cat", "cat0002")]:
+        assert s1.agg_search(q, aggs) == o.agg_search(q, aggs)
+
+
+def test_sharded_slot_rank_percentiles(mesh):
+    """Percentiles nested under bucket aggs on a mesh take the device
+    slot_rank path with per-slot cross-shard bisection (VERDICT r2 #5) —
+    no host fallback, no all-gather — and match the oracle exactly."""
+    idx = random_index(16, n_docs=700, n_segments=3)
+    aggs = {"t": terms_agg("cat", size=4,
+                           sub_aggs={"p": percentiles_agg("price"),
+                                     "pc": percentiles_agg("counts")}),
+            "h": histogram_agg("qty", interval=397,
+                               sub_aggs={"pq": percentiles_agg("delta")})}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    for pth in (("a", "t", "p"), ("a", "t", "pc"), ("a", "h", "pq")):
+        pl = prog.plan[pth]
+        assert pl["pmode"] == "slot_rank", (pth, pl)
+        assert pl["slot_bisect"], pth
+    o = idx.oracle_searcher()
+    for q in [MatchAllQuery(), RangeQuery("qty", lower=50, upper=900),
+              TermQuery("cat", "cat0001"),
+              RangeQuery("qty", lower=10**7)]:  # empty buckets
+        got = s.agg_search(q, aggs)
+        want = o.agg_search(q, aggs)
+        assert got == want, f"\nsharded: {got}\noracle:  {want}"
+    # non-integer percents under buckets stay on the exact host fallback
+    # when sharded (plan-gated) but still answer correctly
+    na = {"t": terms_agg("cat", size=3,
+                         sub_aggs={"p": percentiles_agg("price",
+                                                        percents=(33.3,))})}
+    assert s.agg_search(MatchAllQuery(), na) == \
+        o.agg_search(MatchAllQuery(), na)
+
+
+def test_sharded_in_slot_top_hits(mesh):
+    """top_hits nested under bucket aggs on a mesh: per-shard top-k +
+    k-way merge of [ns, D*k] candidates (VERDICT r2 #5) — device plan,
+    no host fallback, bit-identical to the oracle."""
+    idx = random_index(17, n_docs=600, n_segments=3)
+    aggs = {"t": terms_agg("cat", size=4,
+                           sub_aggs={"th": top_hits_agg(3, "qty"),
+                                     "td": top_hits_agg(2, "delta",
+                                                        ascending=False)}),
+            "h": histogram_agg("qty", interval=509,
+                               sub_aggs={"ts": top_hits_agg(2, "price")})}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    for pth in (("a", "t", "th"), ("a", "t", "td"), ("a", "h", "ts")):
+        assert prog.plan[pth]["kind"] == "top_hits", pth
+        assert prog.plan[pth]["in_slot"], pth
+    o = idx.oracle_searcher()
+    for q in [MatchAllQuery(), RangeQuery("qty", lower=50, upper=900),
+              TermQuery("cat", "cat0003"),
+              RangeQuery("qty", lower=10**7)]:
+        got = s.agg_search(q, aggs)
+        want = o.agg_search(q, aggs)
+        assert got == want, f"\nsharded: {got}\noracle:  {want}"
