@@ -40,6 +40,7 @@ SURVEY.md sections rather than file:line — see SURVEY.md provenance notice):
 
 from .schema import Schema, FieldType, Cardinality, SchemaBuilder  # noqa: E402
 from .index.index import Index  # noqa: E402
+from .index.merge_policy import LogMergePolicy  # noqa: E402
 from .searcher import Searcher  # noqa: E402
 from .query.ir import (  # noqa: E402
     MatchAllQuery,
@@ -81,6 +82,7 @@ __all__ = [
     "FieldType",
     "Cardinality",
     "Index",
+    "LogMergePolicy",
     "Searcher",
     "MatchAllQuery",
     "TermQuery",

@@ -26,6 +26,10 @@ class Index:
         self.segments: List[Segment] = []
         #: bumped whenever segment data changes; device loaders key on it
         self.epoch = 0
+        #: automatic compaction policy, consulted after every commit
+        #: (IndexWriter.commit -> maybe_merge). None disables.
+        from .merge_policy import LogMergePolicy
+        self.merge_policy = LogMergePolicy()
 
     # -- constructors ---------------------------------------------------------
 
@@ -106,9 +110,12 @@ class Index:
 
     # -- segment merging (tantivy merge-policy analog, SURVEY.md §2.2 T2) -----
 
-    def merge_segments(self) -> str:
-        """Compact all segments into one, dropping deleted docs. Returns the
-        new segment id."""
+    def merge_segments(self, start: int = 0, count: Optional[int] = None) -> str:
+        """Compact the contiguous run segments[start:start+count] into one,
+        dropping deleted docs; the merged segment takes the run's position
+        (segment order defines global doc order, so merging a contiguous
+        run preserves it — doc ids shift only by the dropped deletes).
+        Default merges ALL segments. Returns the new segment id."""
         import os
         import shutil
         import uuid
@@ -117,7 +124,12 @@ class Index:
         import numpy as np
         if not self.segments:
             raise ValueError("no segments to merge")
-        old = list(self.segments)
+        if count is None:
+            count = len(self.segments) - start
+        if not (0 <= start and count >= 1
+                and start + count <= len(self.segments)):
+            raise ValueError(f"bad merge run [{start}, {start + count})")
+        old = self.segments[start:start + count]
         keep_masks = [s.alive_mask() for s in old]
         new_max = int(sum(m.sum() for m in keep_masks))
         fields = {}
@@ -170,15 +182,32 @@ class Index:
                          for s, keep in zip(old, keep_masks)]
                 fields[name] = SegmentFieldData(np.concatenate(parts))
         seg = Segment(uuid.uuid4().hex[:12], new_max, fields)
-        # swap in the merged segment
+        # swap the merged segment into the run's position
         if self.path is not None:
             for s in old:
                 shutil.rmtree(os.path.join(self.path, f"seg_{s.id}"),
                               ignore_errors=True)
-        self.segments = []
+        tail = self.segments[start + count:]
+        self.segments = self.segments[:start]
         self._add_segment(seg)
+        self.segments.extend(tail)
         self._commit_meta()
         return seg.id
+
+    def maybe_merge(self) -> List[str]:
+        """Apply this index's merge policy (tantivy's IndexWriter merge
+        loop analog, SURVEY.md §2.2 T2): repeatedly merge policy-selected
+        contiguous runs until none qualifies. Runs synchronously at commit
+        (this engine has no background threads by design — segments are
+        immutable and searchers snapshot the list). Returns new ids."""
+        out = []
+        if self.merge_policy is None:
+            return out
+        while True:
+            run = self.merge_policy.select(self.segments)
+            if run is None:
+                return out
+            out.append(self.merge_segments(*run))
 
     # -- internal hooks used by IndexWriter ------------------------------------
 

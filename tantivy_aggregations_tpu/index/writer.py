@@ -109,6 +109,10 @@ class IndexWriter:
         if seg is not None:
             self._index._add_segment(seg)
         self._index._commit_meta()
+        # automatic compaction (tantivy's post-commit merge loop analog):
+        # the index's merge policy decides; default LogMergePolicy keeps
+        # write-heavy indexes at O(log N) segments (index/merge_policy.py)
+        self._index.maybe_merge()
         return seg.id if seg is not None else None
 
     # -- internals -----------------------------------------------------------
