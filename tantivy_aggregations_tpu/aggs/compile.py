@@ -231,6 +231,23 @@ class Program:
         self._extract_filter_params(aggs, ("a",), params)
         return self._fn(params, self._arrays)
 
+    def param_key(self, query, aggs):
+        """Canonical hashable key of a request's extracted device params.
+        A compiled program is a pure function of (params, resident
+        arrays), so equal keys imply bit-identical fruits — the msearch
+        driver uses this to compute repeated queries of a serving group
+        ONCE (searcher._submit_group)."""
+        params = qc.extract_params(query, self.dindex)
+        self._extract_filter_params(aggs, ("a",), params)
+
+        def sc(v):
+            try:
+                return int(v)
+            except (TypeError, ValueError):
+                return np.asarray(v).tobytes()
+
+        return tuple(sorted((k, sc(v)) for k, v in params.items()))
+
     # -- msearch: B same-shape queries in ONE device dispatch ---------------
     # (Elasticsearch Multi-Search parity; also the serving-throughput mode —
     # column passes are shared across the batch, and the per-dispatch floor
@@ -534,6 +551,93 @@ class Program:
                 hp = self._host_planes(colf)[1 if kind == "lo" else 0]
                 build = (lambda hp=hp: PK.transpose_groups(hp[perm]))
             cache(f"T#{key}", build)
+
+    def _plan_prefix_pallas(self, node, p, layout, prefix, chain):
+        """Gate + registration for the fused chain_blocks Pallas path over
+        a prefix-mode bucket layout: one plane pass per msearch batch
+        evaluates the chain mask IN-KERNEL and emits per-32-block matched
+        counts + 13-bit-split payload sums; bucket totals then gather tiny
+        cumsums at the 32-unit bounds (ops/reductions.py *_from_blocks).
+        Replaces 4-6 full-row HBM passes per query with one per batch."""
+        from ..ops import pallas_kernels as PK
+        p["pallas_prefix"] = (self._pallas_ok
+                              and PK.chain_blocks_supported(layout.n_rows))
+        if not p["pallas_prefix"]:
+            return
+        pay_fields = [s.field for _, s in node.sub_aggs
+                      if isinstance(s, (A.SumAgg, A.AvgAgg))]
+        p["pkeys"] = self._chain_pkeys(chain)
+        p["ckeys"] = self._chain_plane_keys(chain)
+        p["pay_plan"] = self._build_cblocks_view(layout, prefix, chain,
+                                                 pay_fields)
+
+    def _build_cblocks_view(self, layout, prefix, chain, payload_fields):
+        """[32, R/32] group-major transposed copies of the chain's permuted
+        planes, the combined alive&valid plane, and the payload sum planes,
+        cached on the layout — the input layout of the chain_blocks kernel
+        (ops/pallas_kernels.py). Returns {payload field: meta} with the
+        registered plane keys (skeys: sum planes; cnt_key: per-doc value
+        count plane for multi payload fields; direct: flat-sum shape)."""
+        from ..index.loader import _put
+        from ..ops import pallas_kernels as PK
+        perm = layout.perm
+
+        def cache(key, build):
+            if key not in layout.cache:
+                layout.cache[key] = _put(np.asarray(build()),
+                                         self.dindex.mesh)
+            self._need(prefix + key, layout.cache[key])
+
+        def avalid():
+            a = self.dindex.alive_host[perm]
+            v = layout.valid_perm_host
+            return PK.transpose_groups(
+                ((a > 0) & (v > 0)).astype(np.int8), 32)
+
+        cache("T32#avalid", avalid)
+        for key in self._chain_plane_keys(chain):
+            f, kind = key.rsplit(":", 1)
+            colf = self._col(f)
+            if kind.startswith("mp"):
+                ph = colf.multi_planes_host[int(kind[2:])]
+                build = (lambda ph=ph: PK.transpose_groups(ph[perm], 32))
+            else:
+                hp = self._host_planes(colf)[1 if kind == "lo" else 0]
+                build = (lambda hp=hp: PK.transpose_groups(hp[perm], 32))
+            cache(f"T32#{key}", build)
+        pay_plan = {}
+        for g in payload_fields:
+            if g in pay_plan:
+                continue
+            colg = self._col(g)
+            meta = {"skeys": [], "cnt_key": None,
+                    "direct": colg.sum_direct and not colg.multi}
+            if colg.multi:
+                pre = self._doc_preagg_host(colg)
+                for i in range(pre["sum"].shape[1]):
+                    k = f"T32#pay:{g}:s{i}"
+                    cache(k, lambda pre=pre, i=i:
+                          PK.transpose_groups(pre["sum"][perm, i], 32))
+                    meta["skeys"].append(k)
+                k = f"T32#pay:{g}:cnt"
+                cache(k, lambda pre=pre:
+                      PK.transpose_groups(pre["cnt"][perm], 32))
+                meta["cnt_key"] = k
+            elif colg.sum_direct:
+                hp = self._host_planes(colg)
+                k = f"T32#pay:{g}:s0"
+                cache(k, lambda hp=hp:
+                      PK.transpose_groups(hp[0][perm], 32))
+                meta["skeys"] = [k]
+            else:
+                limbs = self._sum_limbs_host(colg)
+                for i in range(limbs.shape[1]):
+                    k = f"T32#pay:{g}:s{i}"
+                    cache(k, lambda limbs=limbs, i=i:
+                          PK.transpose_groups(limbs[perm, i], 32))
+                    meta["skeys"].append(k)
+            pay_plan[g] = meta
+        return pay_plan
 
     def _need_bounds32(self, prefix, layout):
         """Register a bucket layout's 32-unit bounds: [card+1] unsharded,
@@ -927,9 +1031,13 @@ class Program:
             p["layout"] = layout
             prefix = f"HL:{bid_key}#"
             p["prefix"] = prefix
-            payload_fields = [s.field for _, s in node.sub_aggs
-                              if isinstance(s, (A.SumAgg, A.AvgAgg))]
-            self._build_permuted_view(layout, prefix, chain, payload_fields)
+            p["chain"] = chain
+            self._plan_prefix_pallas(node, p, layout, prefix, chain)
+            if not p["pallas_prefix"]:
+                payload_fields = [s.field for _, s in node.sub_aggs
+                                  if isinstance(s, (A.SumAgg, A.AvgAgg))]
+                self._build_permuted_view(layout, prefix, chain,
+                                          payload_fields)
             self._need_bounds32(prefix, layout)
         else:
             p["mode"] = "scatter"
@@ -1034,9 +1142,13 @@ class Program:
             p["layout"] = layout
             prefix = f"BL:{node.field}#"
             p["prefix"] = prefix
-            payload_fields = [s.field for _, s in node.sub_aggs
-                              if isinstance(s, (A.SumAgg, A.AvgAgg))]
-            self._build_permuted_view(layout, prefix, chain, payload_fields)
+            p["chain"] = chain
+            self._plan_prefix_pallas(node, p, layout, prefix, chain)
+            if not p["pallas_prefix"]:
+                payload_fields = [s.field for _, s in node.sub_aggs
+                                  if isinstance(s, (A.SumAgg, A.AvgAgg))]
+                self._build_permuted_view(layout, prefix, chain,
+                                          payload_fields)
             self._need_bounds32(prefix, layout)
         else:
             p["mode"] = "scatter"
@@ -1628,6 +1740,10 @@ class Program:
         field = node.field
         col = self._col(field)
         if p["mode"] == "prefix":
+            if p.get("pallas_prefix"):
+                counts, sub_out = self._eval_prefix_pallas(node, params,
+                                                           arrays, p)
+                return {"counts": counts, **sub_out}
             prefix = p["prefix"]
             vm = self._perm_mask(ctx.chain, params, arrays, prefix,
                                  arrays[prefix + "lvalid"].shape[0])
@@ -1910,7 +2026,54 @@ class Program:
         b = arrays[prefix + "bounds32"]
         return b.reshape(-1) if b.ndim == 2 else b
 
+    def _eval_prefix_pallas(self, node, params, arrays, p):
+        """Prefix-mode bucket totals via the fused chain_blocks kernel:
+        (per-bucket counts [card], sub_out) — same shapes as the
+        _perm_mask + _prefix_bucket_outputs formulation, one plane pass
+        per msearch batch instead of 4-6 per query. Unsharded only
+        (plan-gated by _pallas_ok)."""
+        from ..ops import pallas_kernels as PK
+        prefix = p["prefix"]
+        pvec = (jnp.stack([params[k] for k in p["pkeys"]])
+                if p["pkeys"] else jnp.zeros(1, I32))
+        cb = PK.make_chain_blocks(self._ccounts_mask_of(p),
+                                  self.config.pallas_interpret)
+        planes = {k: arrays[prefix + "T32#" + k]
+                  for k in ("avalid", *p["ckeys"])}
+        pay = {}
+        for meta in p["pay_plan"].values():
+            for k in meta["skeys"]:
+                pay[k] = arrays[prefix + k]
+            if meta["cnt_key"]:
+                pay[meta["cnt_key"]] = arrays[prefix + meta["cnt_key"]]
+        c32, sums = cb(pvec, planes, pay)
+        bounds32 = self._local_bounds32(arrays, prefix)
+        counts = R.prefix_diff_counts_from_blocks(c32, bounds32)
+        sub_out = {}
+        for name, sub in node.sub_aggs:
+            if isinstance(sub, A.CountAgg):
+                sub_out[name] = {"cnt": counts}
+                continue
+            meta = p["pay_plan"][sub.field]
+            ssum = jnp.stack(
+                [R.prefix_diff_sums_from_blocks(*sums[k], bounds32)
+                 for k in meta["skeys"]], axis=-1)
+            if meta["cnt_key"]:
+                gcnt = R.prefix_diff_sums_from_blocks(*sums[meta["cnt_key"]],
+                                                      bounds32)
+            else:
+                gcnt = counts
+            if len(meta["skeys"]) == 1 and meta["direct"]:
+                sub_out[name] = {"cnt": gcnt, "sum": ssum[:, 0]}
+            else:
+                sub_out[name] = {"cnt": gcnt, "sum": ssum}
+        return counts, sub_out
+
     def _eval_terms_prefix(self, node, ctx, params, arrays, path, p):
+        if p.get("pallas_prefix"):
+            counts, sub_out = self._eval_prefix_pallas(node, params,
+                                                       arrays, p)
+            return self._terms_select_traced(p, counts, sub_out, 1)
         prefix = p["prefix"]
         vm = self._perm_mask(ctx.chain, params, arrays, prefix,
                              arrays[prefix + "lvalid"].shape[0])

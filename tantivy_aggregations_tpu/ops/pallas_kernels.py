@@ -241,3 +241,153 @@ def fused_metrics(mask, plane, interpret: bool = False,
         mn = parts[:, 0, 3].min()
         mx = parts[:, 0, 4].max()
     return cnt, tot, mn, mx
+
+
+# ---------------------------------------------------------------------------
+# chain_blocks: fused query-chain mask -> per-32-row counts + payload sums
+# ---------------------------------------------------------------------------
+#
+# The prefix-mode terms/histogram paths (SURVEY.md §3.3: per-bucket totals
+# as prefix differences over a bucket-sorted OrderedLayout) need, per query
+# of an msearch batch, (a) chain-matched counts per 32-row block and (b)
+# exact masked PAYLOAD sums per 32-row block for each sum sub-agg plane —
+# bucket totals then gather a cumsum at the layout's 32-unit bucket bounds
+# (ops/reductions.py prefix_diff_*). The XLA formulation materializes the
+# [R] mask per query and re-reads the payload planes per query: 4-6 full
+# HBM passes per query. This kernel fuses ALL of it into one plane pass per
+# batch (same custom_vmap shape as chain_counts above).
+#
+# Planes arrive transposed at 32-row granularity ([32, R/32]: the g-th
+# 32-row run of the layout is COLUMN g — transpose_groups(plane, 32)), so
+# every per-block reduction is one cross-sublane sum over exactly the
+# block's 32 sublanes: the per-32 output resolution the 32-unit bucket
+# bounds require, with no window extraction.
+#
+# Exactness: payload planes are int32; each element splits as
+# v == (v >> 13 << 13) + (v - (v >> 13 << 13)) (arithmetic shift — the
+# identity holds for negatives, mirroring reductions.block32_sums). Block
+# sums of the splits are bounded by 32 * 2^18 = 2^23 (hi) and 32 * 2^13 =
+# 2^18 (lo): int32-exact by construction. The int64 recombination happens
+# outside the kernel (reductions.prefix_diff_sums_from_blocks).
+
+_CB_BLKC = 512  # lane-groups per grid block (upper bound)
+#: scoped-VMEM budget in accumulator columns: B * (1 + 2L) * blkc. The
+#: failing observation on the v5e was B=128, L=1, 4 chain planes at
+#: blkc=512 (196K columns -> 18.26M scoped > the 16M limit); 2^17 columns
+#: keeps the same shape at blkc=256 comfortably inside it.
+_CB_COL_BUDGET = 1 << 17
+
+
+def _cb_pick_blkc(g: int, b_rows: int = 64, n_out: int = 3):
+    cap = _CB_BLKC
+    while cap > 128 and b_rows * n_out * cap > _CB_COL_BUDGET:
+        cap -= 128
+    best = None
+    b = 128
+    while b <= cap:
+        if g % b == 0:
+            best = b
+        b += 128
+    return best
+
+
+def chain_blocks_supported(n_rows: int) -> bool:
+    # rows are PAD_BLOCK (32768) padded -> R/32 is a multiple of 1024
+    return (n_rows > 0 and n_rows % 4096 == 0
+            and _cb_pick_blkc(n_rows // 32) is not None)
+
+
+def _chain_blocks_batched(pmat, planes, pay, mask_of, interpret: bool):
+    """pmat: int32 [B, P]; planes: dict name -> [32, G] transposed chain
+    planes (incl. 'avalid'); pay: dict name -> [32, G] int32 payload
+    planes. Returns (counts [B, G] i32, {name: (hi [B, G], lo [B, G])})."""
+    names = sorted(planes)
+    pnames = sorted(pay)
+    G = planes[names[0]].shape[1]
+    B, P = pmat.shape
+    L = len(pnames)
+    blkc = _cb_pick_blkc(G, B, 1 + 2 * L)
+    grid = G // blkc
+
+    def kernel(pref, *refs):
+        chain_refs = refs[:len(names)]
+        pay_refs = refs[len(names):len(names) + L]
+        out_c = refs[len(names) + L]
+        out_hl = refs[len(names) + L + 1:]
+        vals = {nm: (jax.lax.convert_element_type(chain_refs[i][:], I32)
+                     if chain_refs[i].dtype == jnp.int8 else chain_refs[i][:])
+                for i, nm in enumerate(names)}
+        pv_blocks = [r[:] for r in pay_refs]
+        biota = jax.lax.broadcasted_iota(I32, (B, blkc), 0)
+        acc_c = jnp.zeros((B, blkc), I32)
+        acc_h = [jnp.zeros((B, blkc), I32) for _ in range(L)]
+        acc_l = [jnp.zeros((B, blkc), I32) for _ in range(L)]
+        for b in range(B):
+            pvq = [pref[b, j] for j in range(P)]
+            m = mask_of(vals, pvq)  # bool [32, blkc]
+            c = jnp.where(m, 1, 0).sum(axis=0, keepdims=True)
+            acc_c = jnp.where(biota == b, c, acc_c)
+            for j in range(L):
+                s = jnp.where(m, pv_blocks[j], 0)
+                h13 = s >> 13
+                l13 = s - (h13 << 13)
+                acc_h[j] = jnp.where(biota == b,
+                                     h13.sum(axis=0, keepdims=True),
+                                     acc_h[j])
+                acc_l[j] = jnp.where(biota == b,
+                                     l13.sum(axis=0, keepdims=True),
+                                     acc_l[j])
+        out_c[:, :] = acc_c
+        for j in range(L):
+            out_hl[2 * j][:, :] = acc_h[j]
+            out_hl[2 * j + 1][:, :] = acc_l[j]
+
+    in_specs = [pl.BlockSpec((B, P), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec((32, blkc), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+                 for _ in range(len(names) + L)]
+    out_spec = pl.BlockSpec((B, blkc), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((B, G), jnp.int32)
+                 for _ in range(1 + 2 * L)]
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=[out_spec] * (1 + 2 * L),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(pmat, *(planes[nm] for nm in names),
+          *(pay[nm] for nm in pnames))
+    counts = outs[0]
+    sums = {nm: (outs[1 + 2 * j], outs[2 + 2 * j])
+            for j, nm in enumerate(pnames)}
+    return counts, sums
+
+
+def make_chain_blocks(mask_of, interpret: bool = False):
+    """A (pvec [P] i32, planes dict, pay dict) -> (counts [R/32] i32,
+    {name: (hi, lo) [R/32] i32}) function with a batching rule that
+    evaluates ALL vmapped queries in one plane pass (see make_chain_counts
+    for the mask_of contract; it runs INSIDE the kernel, x64-off, i32)."""
+
+    @jax.custom_batching.custom_vmap
+    def cb(pvec, planes, pay):
+        c, s = _chain_blocks_batched(pvec[None, :], planes, pay, mask_of,
+                                     interpret)
+        return c[0], {k: (h[0], l[0]) for k, (h, l) in s.items()}
+
+    @cb.def_vmap
+    def _cb_vmap(axis_size, in_batched, pvec, planes, pay):
+        if any(jax.tree_util.tree_leaves(in_batched[1])) or \
+                any(jax.tree_util.tree_leaves(in_batched[2])):
+            raise NotImplementedError("chain_blocks planes cannot be batched")
+        if not in_batched[0]:
+            pvec = jnp.broadcast_to(pvec[None, :], (axis_size,
+                                                    pvec.shape[0]))
+        out = _chain_blocks_batched(pvec, planes, pay, mask_of, interpret)
+        return out, (True, {k: (True, True) for k in out[1]})
+
+    return cb

@@ -300,3 +300,26 @@ def values_hit_to_doc_mask(hits, doc_id, T: int) -> jnp.ndarray:
     acc = jnp.zeros(T, jnp.int32).at[doc_id].max(
         hits.astype(jnp.int32), mode="drop")
     return acc > 0
+
+
+def prefix_diff_counts_from_blocks(c32, bounds32) -> jnp.ndarray:
+    """Per-bucket totals from KERNEL-produced per-32-block counts (the
+    chain_blocks Pallas path): int32 cumsum (exact: totals <= R < 2^31) +
+    gather at the 32-unit bucket bounds."""
+    pref = jnp.cumsum(c32).astype(I64)
+    pref = jnp.concatenate([jnp.zeros(1, I64), pref])
+    at = pref[bounds32]
+    return at[1:] - at[:-1]
+
+
+def prefix_diff_sums_from_blocks(hi, lo, bounds32) -> jnp.ndarray:
+    """Per-bucket exact sums from KERNEL-produced per-32-block 13-bit-split
+    payload sums (chain_blocks): each split scans exactly on the MXU
+    (|hi block| <= 32 * 2^18, |lo block| <= 32 * 2^13) and recombines at
+    the [card+1] bounds gather."""
+    ch = mxu_cumsum(hi, 32 << 18)
+    cl = mxu_cumsum(lo, 32 << 13)
+    pref = (ch << 13) + cl
+    pref = jnp.concatenate([jnp.zeros(1, I64), pref])
+    at = pref[bounds32]
+    return at[1:] - at[:-1]

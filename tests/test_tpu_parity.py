@@ -187,3 +187,36 @@ def test_calendar_and_prefix(idx):
     run(idx, BooleanQuery(must=[PrefixQuery("tags", "t1")],
                           must_not=[PrefixQuery("status", "b")]),
         {"n": count_agg()})
+
+
+def test_prefix_pallas_compiled(idx):
+    """The chain_blocks kernel (fused prefix-mode mask + per-32-block
+    counts/payload sums) lowers through Mosaic on the chip and the
+    prefix terms/histogram fruits stay bit-identical to the oracle. The
+    CPU suite only interprets this kernel (tests/test_pallas_prefix.py);
+    this is the compiled-lowering pin."""
+    s = idx.searcher()
+    aggs = {"t": terms_agg("sku", size=8,
+                           sub_aggs={"s": sum_agg("amount"),
+                                     "sp": sum_agg("price"),
+                                     "n": count_agg()})}
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    q = RangeQuery("amount", lower=50, upper=9000)
+    prog = s._program_for(q, aggs)
+    assert prog.plan[("a", "t")]["mode"] == "prefix"
+    if on_tpu:  # CPU lane plans pallas_prefix=False (no interpret config)
+        assert prog.plan[("a", "t")].get("pallas_prefix"), \
+            f"prefix terms fell off the chain_blocks path: " \
+            f"{prog.plan[('a', 't')]}"
+    run(idx, q, aggs)
+    # multi-valued chain field (mp-plane compares in-kernel) + avg over a
+    # multi-valued payload (per-doc preagg cnt/sum planes through the
+    # kernel's 13-bit-split sums)
+    q2 = TermQuery("tags", "t5")
+    aggs2 = {"t": terms_agg("sku", size=6,
+                            sub_aggs={"a": avg_agg("counts")})}
+    prog2 = s._program_for(q2, aggs2)
+    if on_tpu:
+        assert prog2.plan[("a", "t")].get("pallas_prefix")
+    run(idx, q2, aggs2)
