@@ -262,15 +262,26 @@ def main():
             if expect[repr(q)] != oracle.agg_search(q, aggs):
                 log(f"[bench] ORACLE MISMATCH config {i} query {q!r}")
                 raise SystemExit(1)
+        # headline stream: msearch dedup OFF, so the geomean measures raw
+        # per-request compute throughput (streams repeat param sets; the
+        # request-cache dedup would collapse them and flatter the number)
+        searcher.config = dataclasses.replace(plain_cfg, msearch_dedup=False)
         searcher.agg_search_batch(reqs[: searcher.config.max_batch * 2])
         t0 = time.time()
         outs = list(searcher.agg_search_stream(iter(reqs), lookahead=6))
         batch_t = (time.time() - t0) / len(reqs)
         assert all(o == expect[repr(q)] for o, (q, _) in zip(outs, reqs))
         tpu_qtime[i] = batch_t
+        # serving mode (default config): dedup ON — stderr visibility only
+        searcher.config = plain_cfg
+        t0 = time.time()
+        outs2 = list(searcher.agg_search_stream(iter(reqs), lookahead=6))
+        dedup_t = (time.time() - t0) / len(reqs)
+        assert all(o == expect[repr(q)] for o, (q, _) in zip(outs2, reqs))
         log(f"[bench] tpu c{i} ({name}): p50 {tpu_p50[i]*1000:.1f}ms, "
             f"stream {batch_t*1000:.2f}ms/q over {len(expect)} distinct "
-            f"param sets")
+            f"param sets (serving mode w/ request dedup: "
+            f"{dedup_t*1000:.2f}ms/q)")
 
     # --- identity gate -----------------------------------------------------
     if cpp_results:

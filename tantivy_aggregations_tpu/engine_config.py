@@ -23,6 +23,12 @@ class EngineConfig:
     #: cost amortizes over the group; 64 -> 128 took the streams from
     #: 0.41 -> 0.11 ms/q (count+sum) and 1.21 -> 1.08 ms/q (percentile mix)
     max_batch: int = 128
+    #: dedup identical requests inside an msearch group (request-cache
+    #: analog of Elasticsearch's shard request cache): a compiled program
+    #: is a pure function of its extracted params, so equal param sets
+    #: compute once and fan the fruits out. Serving wins; benchmarks that
+    #: want to measure raw compute throughput should turn it off.
+    msearch_dedup: bool = True
     #: fused Pallas metric kernels on the TPU backend (unsharded programs)
     use_pallas: bool = True
     #: run Pallas kernels in interpreter mode (CPU testing of kernel paths)

@@ -150,12 +150,24 @@ class Searcher:
         return cap if pc is None else max(1, min(cap, pc))
 
     def _collect_group(self, group):
-        prog, queries, aggs, raw, staged = group
+        prog, queries, aggs, raw, staged, idxmap, nuniq = group
         if isinstance(prog, _HostFallback):
             return [prog.run(q, aggs) for q in queries]
-        if len(queries) == 1:
-            return [prog.finalize(raw, aggs, staged=staged)]
-        return prog.finalize_many(raw, aggs, len(queries), staged=staged)
+        if nuniq == 1:
+            uniq_outs = [prog.finalize(raw, aggs, staged=staged)]
+        else:
+            uniq_outs = prog.finalize_many(raw, aggs, nuniq, staged=staged)
+        if len(queries) == nuniq:
+            return uniq_outs
+        # duplicated requests: each caller gets its own result object
+        import copy
+        seen = [False] * nuniq
+        out = []
+        for i in idxmap:
+            out.append(uniq_outs[i] if not seen[i]
+                       else copy.deepcopy(uniq_outs[i]))
+            seen[i] = True
+        return out
 
     def agg_search_stream(self, requests, lookahead: int = 2):
         """Sustained-serving generator over an iterable of (query, aggs):
@@ -204,12 +216,29 @@ class Searcher:
 
     def _submit_group(self, prog, queries, aggs):
         if isinstance(prog, _HostFallback):
-            return (prog, queries, aggs, None, None)
-        if len(queries) == 1:
-            raw = prog.submit(queries[0], aggs)
+            return (prog, queries, aggs, None, None, None, 0)
+        # dedup identical requests (config.msearch_dedup): serving streams
+        # repeat queries, and a compiled program is a pure function of its
+        # extracted params — compute each distinct param set ONCE and fan
+        # the fruits out
+        if self.config.msearch_dedup:
+            keymap, uniq, idxmap = {}, [], []
+            for q in queries:
+                k = prog.param_key(q, aggs)
+                j = keymap.get(k)
+                if j is None:
+                    j = keymap[k] = len(uniq)
+                    uniq.append(q)
+                idxmap.append(j)
+        else:
+            uniq = list(queries)
+            idxmap = list(range(len(queries)))
+        if len(uniq) == 1:
+            raw = prog.submit(uniq[0], aggs)
         else:
             pad = 1
-            while pad < len(queries):
+            while pad < len(uniq):
                 pad *= 2
-            raw = prog.submit_many(queries, aggs, pad_to=pad)
-        return (prog, queries, aggs, raw, prog.stage(raw, aggs))
+            raw = prog.submit_many(uniq, aggs, pad_to=pad)
+        return (prog, queries, aggs, raw, prog.stage(raw, aggs),
+                idxmap, len(uniq))

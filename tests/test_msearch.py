@@ -127,3 +127,40 @@ def test_stream_with_percentiles_and_mesh():
     got = list(idx.searcher(mesh=make_mesh(8)).agg_search_stream(iter(reqs[:6])))
     for (q, a), r in zip(reqs[:6], got):
         assert r == o.agg_search(q, a)
+
+
+def test_msearch_dedup():
+    """Repeated identical requests in a batch compute once (request-cache
+    analog, EngineConfig.msearch_dedup) and every caller still gets a
+    correct, independent fruit object; dedup-off path stays identical."""
+    import dataclasses
+    from tantivy_aggregations_tpu.engine_config import EngineConfig
+    idx = random_index(71, n_docs=300, n_segments=2)
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("price"),
+            "t": terms_agg("cat", size=4)}
+    qa, qb = RangeQuery("qty", lower=100), TermQuery("cat", "cat0001")
+    reqs = [(qa, aggs), (qb, aggs), (qa, aggs), (qa, aggs), (qb, aggs)]
+    got = s.agg_search_batch(reqs)
+    assert len(got) == len(reqs)
+    for (q, a), r in zip(reqs, got):
+        assert r == o.agg_search(q, a)
+    # duplicates are equal but independent objects (no aliased mutation)
+    assert got[0] == got[2] and got[0] is not got[2]
+    got[2]["n"]["value"] = -1
+    assert got[0]["n"]["value"] != -1
+    # only 1 submit for all-identical groups: count via program submits
+    prog = s._program_for(qa, aggs)
+    calls = []
+    orig = prog.submit
+    prog.submit = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        outs = s.agg_search_batch([(qa, aggs)] * 5)
+    finally:
+        prog.submit = orig
+    assert len(calls) == 1 and all(r == got[0] for r in outs)
+    # dedup off: same fruits
+    s.config = dataclasses.replace(EngineConfig(), msearch_dedup=False)
+    for (q, a), r2 in zip(reqs, s.agg_search_batch(reqs)):
+        assert r2 == o.agg_search(q, a)
