@@ -273,7 +273,10 @@ def main():
         assert all(o == expect[repr(q)] for o, (q, _) in zip(outs, reqs))
         tpu_qtime[i] = batch_t
         # serving mode (default config): dedup ON — stderr visibility only
+        # (warm one pass first: deduped groups submit at smaller pow2 pads,
+        # i.e. program shapes the dedup-off stream never compiled)
         searcher.config = plain_cfg
+        list(searcher.agg_search_stream(iter(reqs), lookahead=6))
         t0 = time.time()
         outs2 = list(searcher.agg_search_stream(iter(reqs), lookahead=6))
         dedup_t = (time.time() - t0) / len(reqs)
