@@ -94,6 +94,10 @@ class SlotCtx:
     mode: str            # "dense" | "scatter"
     slot_of_doc: object = None
     slot_valid_of_doc: object = None
+    #: bid is a query-independent resident plane (MaskCtx-rooted dense
+    #: nodes) -> counts/sums may use the MXU matmul formulation, whose
+    #: right-hand operand must be unbatched under vmap to be worthwhile
+    bid_static: bool = False
 
     @property
     def nslots(self) -> int:
@@ -1346,11 +1350,17 @@ class Program:
 
     def _slot_counts(self, ctx: SlotCtx):
         if ctx.mode == "dense":
+            if ctx.bid_static and self.config.dense_mxu:
+                return R.dense_bucket_counts_mxu(ctx.bid, ctx.valid,
+                                                 ctx.nslots)
             return R.dense_bucket_counts(ctx.bid, ctx.valid, ctx.nslots)
         return R.slot_count(ctx.bid, ctx.valid, ctx.nslots)
 
     def _slot_sum_plane(self, ctx: SlotCtx, plane):
         if ctx.mode == "dense":
+            if ctx.bid_static and self.config.dense_mxu:
+                return R.dense_bucket_sum_mxu(ctx.bid, ctx.valid, plane,
+                                              ctx.nslots)
             return R.dense_bucket_sum(ctx.bid, ctx.valid, plane, ctx.nslots)
         return R.slot_sum(plane, ctx.bid, ctx.valid, ctx.nslots)
 
@@ -1792,7 +1802,8 @@ class Program:
             bid = jnp.where(pslot >= 0, pslot, 0) * nb + bid_c
             bid = jnp.where(pslot >= 0, bid, -1)
             dims = ctx.dims + (nb,)
-        sub_ctx = SlotCtx(bid, valid, dims, rows_are_docs, rdoc, p["mode"])
+        sub_ctx = SlotCtx(bid, valid, dims, rows_are_docs, rdoc, p["mode"],
+                          bid_static=isinstance(ctx, MaskCtx))
         out = {"counts": self._madd(self._slot_counts(sub_ctx))}
         if node.sub_aggs:
             doc_rooted = isinstance(ctx, MaskCtx) or ctx.slot_of_doc is not None
@@ -1840,7 +1851,8 @@ class Program:
                     sub_ctx = SlotCtx(pk, valid_k, (card,), True, None,
                                       "dense",
                                       slot_of_doc=jnp.where(valid_k, pk, -1),
-                                      slot_valid_of_doc=valid_k)
+                                      slot_valid_of_doc=valid_k,
+                                      bid_static=True)
                     one = {"counts": self._slot_counts(sub_ctx)}
                     for name, sub in node.sub_aggs:
                         one[name] = self._eval(sub, sub_ctx, params, arrays,
@@ -1895,7 +1907,8 @@ class Program:
             bid = jnp.where((pslot >= 0) & (ids_r >= 0), bid, -1)
             anc_flat = ctx.nslots
             dims = ctx.dims + (card,)
-        sub_ctx = SlotCtx(bid, valid, dims, rows_are_docs, rdoc, p["mode"])
+        sub_ctx = SlotCtx(bid, valid, dims, rows_are_docs, rdoc, p["mode"],
+                          bid_static=isinstance(ctx, MaskCtx))
         counts = self._madd(self._slot_counts(sub_ctx))
 
         sub_out = {}

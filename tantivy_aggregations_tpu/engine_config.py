@@ -31,6 +31,10 @@ class EngineConfig:
     msearch_dedup: bool = True
     #: fused Pallas metric kernels on the TPU backend (unsharded programs)
     use_pallas: bool = True
+    #: dense bucket counts/sums over STATIC bucket-id planes ride chunked
+    #: bf16 MXU matmuls (ops/reductions.py dense_bucket_*_mxu) instead of
+    #: per-query one-hot VPU work; exact by 7-bit piece construction
+    dense_mxu: bool = True
     #: run Pallas kernels in interpreter mode (CPU testing of kernel paths)
     pallas_interpret: bool = False
 

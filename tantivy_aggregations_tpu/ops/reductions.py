@@ -134,6 +134,98 @@ def dense_bucket_sum(bid, valid, plane, nb: int) -> jnp.ndarray:
     return (hs << 13) + ls
 
 
+# -- MXU formulation (static bucket-id planes) ------------------------------
+#
+# The one-hot forms above are O(rows * nb) VPU work PER QUERY — under a
+# 128-query msearch batch that multiplies into the dominant cost of dense
+# bucket trees (measured: bench c5's post-filter histogram + terms subtree
+# at 0.7/0.49 ms/q vs 0.29 for the whole percentile kernel pass). When the
+# bucket-id plane is STATIC (query-independent — every MaskCtx-rooted dense
+# node), bucket aggregation is literally a matmul:
+#
+#     counts[q, j] = sum_r mask[q, r] * onehot[r, j]
+#     sums[q, j]   = sum_r mask[q, r] * (piece_i[r] * onehot[r, j])
+#
+# with the right operand query-independent. That is MXU work, not VPU work:
+# the per-chunk one-hot/piece operand is built once per chunk (amortized
+# over the whole batch, since bid/plane are unbatched under vmap) and the
+# batched mask rides a bf16 x bf16 -> f32 systolic matmul. Exactness is by
+# construction, same argument as mxu_cumsum: every piece is a small integer
+# (|piece| <= 127, bf16-exact) and every f32 partial stays < 2^24 because
+# chunks are <= 131072 rows; partials are cast to integers per chunk and
+# accumulated in int64. lax.scan over row chunks bounds the transient
+# footprint to one [B, chunk] bf16 mask block instead of a [B, rows] copy.
+
+_MXU_DENSE_CHUNKS = (131072, 65536, 32768, 8192, 4096)
+
+
+def _mxu_dense_chunk(rows: int):
+    for c in _MXU_DENSE_CHUNKS:
+        if rows % c == 0:
+            return c
+    return None
+
+
+def _dense_mxu_scan(valid, K: int, n_chunks: int, chunk: int, make_op):
+    """Shared chunked-matmul driver: acc[k] += m_chunk @ op_chunk[r, k]."""
+    bf16 = jnp.bfloat16
+
+    def body(acc, c):
+        m = jax.lax.dynamic_slice_in_dim(valid, c * chunk, chunk)
+        op = make_op(c)  # [chunk, K] bf16, query-independent
+        part = jnp.einsum("r,rk->k", m.astype(bf16), op,
+                          preferred_element_type=jnp.float32)
+        return acc + part.astype(I32).astype(I64), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(K, I64), jnp.arange(n_chunks))
+    return acc
+
+
+def dense_bucket_counts_mxu(bid, valid, nb: int) -> jnp.ndarray:
+    """dense_bucket_counts for a STATIC bid plane, as chunked MXU matmuls.
+    Falls back to the one-hot form when rows don't chunk cleanly."""
+    rows = bid.shape[0]
+    chunk = _mxu_dense_chunk(rows)
+    if chunk is None:
+        return dense_bucket_counts(bid, valid, nb)
+    iota = jnp.arange(nb, dtype=I32)
+
+    def make_op(c):
+        b = jax.lax.dynamic_slice_in_dim(bid, c * chunk, chunk)
+        return (b[:, None] == iota).astype(jnp.bfloat16)
+
+    return _dense_mxu_scan(valid, nb, rows // chunk, chunk, make_op)
+
+
+def dense_bucket_sum_mxu(bid, valid, plane, nb: int) -> jnp.ndarray:
+    """dense_bucket_sum for a STATIC bid plane: 7-bit signed pieces of the
+    int32 payload (4 low pieces in [0,127], top piece = v >> 28 in [-8,7])
+    each ride the same chunked matmul; recombined with int64 shifts."""
+    rows = bid.shape[0]
+    chunk = _mxu_dense_chunk(rows)
+    if chunk is None or plane.dtype != I32:
+        return dense_bucket_sum(bid, valid, plane, nb)
+    iota = jnp.arange(nb, dtype=I32)
+    npieces = 5
+
+    def make_op(c):
+        b = jax.lax.dynamic_slice_in_dim(bid, c * chunk, chunk)
+        v = jax.lax.dynamic_slice_in_dim(plane, c * chunk, chunk)
+        oh = b[:, None] == iota
+        ops = []
+        for i in range(npieces):
+            p = (v >> (7 * i)) & 127 if i < npieces - 1 else v >> 28
+            ops.append(jnp.where(oh, p[:, None], 0).astype(jnp.bfloat16))
+        return jnp.concatenate(ops, axis=1)  # [chunk, npieces*nb]
+
+    acc = _dense_mxu_scan(valid, npieces * nb, rows // chunk, chunk, make_op)
+    acc = acc.reshape(npieces, nb)
+    out = acc[npieces - 1] << (7 * (npieces - 1))
+    for i in range(npieces - 2, -1, -1):
+        out = out + (acc[i] << (7 * i))
+    return out
+
+
 def dense_bucket_min(bid, valid, plane, nb: int) -> jnp.ndarray:
     b2 = _blocks(bid)
     m2 = _blocks(valid.astype(jnp.bool_)) if valid.dtype != jnp.bool_ \

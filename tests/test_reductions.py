@@ -76,3 +76,29 @@ def test_masked_minmax_wide_matches_i64():
             assert int(R.masked_max_wide(jnp.asarray(hi), jnp.asarray(lo),
                                          mask)) == int(R.masked_max_i64(
                                              rm, mask))
+
+
+@pytest.mark.parametrize("rows", [32768, 3 * 131072, 2048])
+def test_dense_mxu_matches_onehot(rows):
+    """dense_bucket_{counts,sum}_mxu == the one-hot forms bit-for-bit:
+    full-range signed int32 payloads, invalid (-1) ids, single + vmapped.
+    rows=2048 exercises the no-clean-chunk fallback (not a 4096 multiple)."""
+    rng = np.random.default_rng(rows)
+    nb = 12
+    bid = jnp.asarray(rng.integers(-1, nb, rows).astype(np.int32))
+    plane = jnp.asarray(
+        rng.integers(-(2**31) + 1, 2**31 - 1, rows).astype(np.int32))
+    with jax.enable_x64(True):
+        m1 = jnp.asarray(rng.random(rows) < 0.6)
+        assert (np.asarray(R.dense_bucket_counts_mxu(bid, m1, nb))
+                == np.asarray(R.dense_bucket_counts(bid, m1, nb))).all()
+        assert (np.asarray(R.dense_bucket_sum_mxu(bid, m1, plane, nb))
+                == np.asarray(R.dense_bucket_sum(bid, m1, plane, nb))).all()
+        vm = jnp.asarray(rng.random((4, rows)) < 0.5)
+        got_c = jax.vmap(lambda m: R.dense_bucket_counts_mxu(bid, m, nb))(vm)
+        ref_c = jax.vmap(lambda m: R.dense_bucket_counts(bid, m, nb))(vm)
+        got_s = jax.vmap(
+            lambda m: R.dense_bucket_sum_mxu(bid, m, plane, nb))(vm)
+        ref_s = jax.vmap(lambda m: R.dense_bucket_sum(bid, m, plane, nb))(vm)
+        assert (np.asarray(got_c) == np.asarray(ref_c)).all()
+        assert (np.asarray(got_s) == np.asarray(ref_s)).all()
