@@ -14,6 +14,10 @@ the measured hardware rationale):
   value-row gathers).
 - histogram / small-cardinality terms ("dense"): blocked one-hot
   compare-reduce, composite slots for nesting (nb_flat <= DENSE_NB).
+  MaskCtx-rooted dense nodes (static bucket-id planes) ride chunked bf16
+  MXU matmuls instead (ops/reductions.py dense_bucket_*_mxu): the one-hot
+  / 7-bit-piece right operand is query-independent, so an msearch batch
+  shares it and the per-query work moves off the VPU.
 - high-cardinality terms ("prefix"): bucket-sorted OrderedLayout; the query
   mask is evaluated directly in permuted space over cached permuted column
   planes; per-bucket totals come from 32-block sums + a small int64 cumsum
@@ -33,7 +37,10 @@ the measured hardware rationale):
 - "scatter" fallback for everything else (XLA:CPU executes scatters well).
 
 Nesting compiles to composite bucket slots (SURVEY.md §7 step 4), including
-percentiles/top_hits under bucket aggs (slot_rank / in-slot sort paths);
+percentiles/top_hits under bucket aggs (slot_rank / in-slot sort paths;
+integer-percent slot_rank on the TPU backend takes the fused
+chain_slot_counts Pallas kernel + lazy window selection — no [R]-sized
+per-query state, full-size msearch groups);
 sharded meshes select nested percentiles by per-slot cross-shard bisection
 and nested top_hits by per-shard top-k + one [ns, D*k] merge sort.
 Remaining device limits route to the exact host fallback via
@@ -199,7 +206,11 @@ class Program:
             kind = p.get("kind")
             if kind == "percentiles" and p.get("pmode") == "slot_rank":
                 rows = p["layout"].n_rows
-                per_q += rows * (9 + p["nslots"] // 4)
+                if p.get("pallas_slots"):
+                    # only the [ns, R/32] counts + cumsum stay live
+                    per_q += (rows // 32) * p["nslots"] * 8
+                else:
+                    per_q += rows * (9 + p["nslots"] // 4)
             elif kind == "percentiles" and p.get("pmode") == "rank" \
                     and not p.get("pallas_counts"):
                 per_q += p["layout"].n_rows * 3
@@ -643,6 +654,56 @@ class Program:
             pay_plan[g] = meta
         return pay_plan
 
+    def _build_slotcomp(self, p, layout, prefix, bchain):
+        """STATIC composite ancestor-slot plane over the value layout's
+        permuted rows (host-exact, cached on the layout): the slot_rank
+        kernel conditions per-block counts on it instead of recomputing
+        bucket ids in-trace, and the lazy window recompute slices it.
+        Values: flat slot in [0, nslots) or -1 (row outside every bucket).
+        Must agree exactly with the in-trace composite (the non-kernel
+        branch of _eval_percentiles_slots): hist ids via _host_bucket_ids
+        (the same host source as the resident bid planes), terms ids via
+        the w/tid host planes."""
+        from ..index.loader import _put
+        from ..ops import pallas_kernels as PK
+        perm = layout.perm
+
+        sig = []
+        for kind, f, meta in bchain:
+            if kind == "terms":
+                sig.append(f"t:{f}:{meta}")
+            else:
+                rb = meta.get("rbounds")
+                sig.append("h:%s:%s:%s:%s:%s:%s" % (
+                    f, meta["hmode"], meta["nb"], meta.get("w_base"),
+                    meta.get("iv"),
+                    None if rb is None else hash(rb.tobytes())))
+        key = "slotcomp@" + "|".join(sig)
+        tkey = "T32#" + key
+        if key not in layout.cache or tkey not in layout.cache:
+            slot = np.zeros(len(perm), np.int64)
+            valid = np.ones(len(perm), bool)
+            for kind, f, meta in bchain:
+                colf = self._col(f)
+                if kind == "hist":
+                    bid = self._host_bucket_ids(colf, meta)[perm]
+                    slot = slot * meta["nb"] + bid
+                else:
+                    if colf.ftype.is_stringy:
+                        ids = self._host_planes(colf)[0][perm]
+                    else:
+                        colf.term_ids()
+                        ids = colf._term_ids_host[perm]
+                    valid &= ids >= 0
+                    slot = slot * meta + np.maximum(ids, 0)
+            sp = np.where(valid, slot, -1).astype(np.int32)
+            layout.cache[key] = _put(sp, self.dindex.mesh)
+            layout.cache[tkey] = _put(PK.transpose_groups(sp, 32),
+                                      self.dindex.mesh)
+        self._need(prefix + key, layout.cache[key])
+        self._need(prefix + tkey, layout.cache[tkey])
+        p["slotk"], p["slotk_T"] = key, tkey
+
     def _need_bounds32(self, prefix, layout):
         """Register a bucket layout's 32-unit bounds: [card+1] unsharded,
         [D, card+1] sharded (axis 0 over 'd' — each shard sees its own
@@ -847,10 +908,27 @@ class Program:
             p["prefix"] = prefix
             row_doc = (col.global_doc_of_rows(self.dindex.T)
                        if col.multi else None)
-            bucket_fields = [f for _, f, _ in bchain]
-            self._build_permuted_view(layout, prefix, chain, (),
-                                      bucket_fields=bucket_fields,
-                                      row_doc=row_doc)
+            # fused kernel path: chain mask + per-32-block per-slot counts
+            # in ONE plane pass per batch against a STATIC composite slot
+            # plane; selection re-derives 32-row windows lazily, so no
+            # [R]-sized per-query state survives (batch groups stay big)
+            from ..ops import pallas_kernels as PK
+            p["pallas_slots"] = (
+                self._pallas_ok and int_p and not col.multi
+                and PK.chain_slot_counts_supported(
+                    layout.n_rows, nslots, self.config.max_batch))
+            if p["pallas_slots"]:
+                p["pkeys"] = self._chain_pkeys(chain)
+                p["ckeys"] = self._chain_plane_keys(chain)
+                # untransposed chain planes: lazy 32-row window recompute
+                self._build_permuted_view(layout, prefix, chain, ())
+                self._build_cblocks_view(layout, prefix, chain, [])
+                self._build_slotcomp(p, layout, prefix, bchain)
+            else:
+                bucket_fields = [f for _, f, _ in bchain]
+                self._build_permuted_view(layout, prefix, chain, (),
+                                          bucket_fields=bucket_fields,
+                                          row_doc=row_doc)
             p["slot_bisect"] = self._sharded
             p["span"] = col.span
             if p["slot_bisect"]:
@@ -1631,9 +1709,62 @@ class Program:
             srt = jnp.sort(jax.lax.all_gather(srt, "d", tiled=True))
         return {"sorted": srt, "m": self._madd(R.ts_count(vmask))}
 
+    def _eval_percentiles_slots_pallas(self, node, params, arrays, p):
+        """slot_rank via the fused chain_slot_counts kernel: ONE plane pass
+        per msearch batch emits [ns, R/32] per-slot block counts; a small
+        int32 cumsum + in-trace integer ranks + lazy 32-row window
+        recompute select the rank rows. No [R]-sized per-query state, so
+        msearch groups stay at full size (the XLA formulation forced
+        32-query groups at 10M rows — bench c9's 2.1 ms/q)."""
+        from ..ops import pallas_kernels as PK
+        prefix, ns = p["prefix"], p["nslots"]
+        pvec = (jnp.stack([params[k] for k in p["pkeys"]])
+                if p["pkeys"] else jnp.zeros(1, I32))
+        csc = PK.make_chain_slot_counts(self._ccounts_mask_of(p), ns,
+                                        self.config.pallas_interpret)
+        cns = csc(pvec, {k: arrays[prefix + "T32#" + k]
+                         for k in ("avalid", *p["ckeys"])},
+                  arrays[prefix + p["slotk_T"]])
+        # [ns, G] int32 counts; per-slot totals <= Rn < 2^31: exact cumsum
+        cum = jnp.cumsum(cns, axis=-1)
+        m_s = self._madd(cum[:, -1].astype(I64))  # [ns]
+        ms = jnp.maximum(m_s - 1, 0)
+        ranks = []
+        for q in node.percents:
+            num = jnp.int64(int(q)) * ms
+            lo = num // 100
+            hi = jnp.minimum(lo + 1, ms)
+            ranks.extend([lo, hi])
+        ranks = jnp.stack(ranks, axis=1)  # [ns, 2P]
+        rows = _slot_rank_select_rows_lazy(
+            cum, ranks,
+            lambda blk, s: self._window_mask32_slot(p, params, arrays,
+                                                    blk, s))
+        return {"m": m_s, "rows": rows}
+
+    def _window_mask32_slot(self, p, params, arrays, blk, s):
+        """Chain-mask & slot bits of the 32-row window at block `blk`,
+        recomputed from dynamic slices of the ORIGINAL permuted planes
+        (the kernel path never materializes the [R] mask)."""
+        prefix, chain = p["prefix"], p["chain"]
+        base = (blk * 32).astype(I32)
+        sl = {prefix + k: jax.lax.dynamic_slice(
+                  arrays[prefix + k], (base,), (32,))
+              for k in ("alive", "lvalid", *p["ckeys"])}
+        m = (sl[prefix + "alive"] > 0) & (sl[prefix + "lvalid"] > 0)
+        for q, qpath in chain:
+            m = m & qc.eval_mask(q, self.dindex, params, qpath, 32, sl,
+                                 prefix)
+        srow = jax.lax.dynamic_slice(arrays[prefix + p["slotk"]],
+                                     (base,), (32,))
+        return m & (srow == s)
+
     def _eval_percentiles_slots(self, node, ctx, params, arrays, path, p):
         """Per-bucket percentiles: ancestor bucket slots recomputed in the
         value layout's permuted space; per-slot coarse prefix + rank rows."""
+        if p.get("pallas_slots"):
+            return self._eval_percentiles_slots_pallas(node, params,
+                                                       arrays, p)
         prefix = p["prefix"]
         # local (shard) row count: layout.n_rows is the global length
         Rn = arrays[prefix + "lvalid"].shape[0]
@@ -2936,6 +3067,32 @@ def _rank_select_rows(cum32, vmask_perm, ranks):
 def _rank_select(cum32, vmask_perm, ranks):
     with jax.enable_x64(True):
         return _rank_select_rows(cum32, vmask_perm, ranks)
+
+
+def _slot_rank_select_rows_lazy(cum_ns, ranks, window_of):
+    """Per-slot rank gather without materialized mask/slot planes:
+    cum_ns [ns, G] inclusive per-32-row-block per-slot match prefixes,
+    ranks [ns, 2P] 0-based; `window_of(blk, s) -> bool [32]` recomputes
+    the chain-mask & slot bits of one block from the original permuted
+    planes. Trace-time body (x64 semantics)."""
+    ns = cum_ns.shape[0]
+
+    def per_slot(s, rk):
+        cs = cum_ns[s]
+        targets = rk + 1
+
+        def one(t):
+            blk = jnp.searchsorted(cs, t.astype(cs.dtype), side="left")
+            base = jnp.where(blk > 0, cs[jnp.maximum(blk - 1, 0)],
+                             0).astype(I64)
+            win = window_of(blk, s)
+            inner = jnp.cumsum(win.astype(I32))
+            off = jnp.sum((inner.astype(I64) < (t - base)).astype(I32))
+            return (blk * 32 + off).astype(I32)
+
+        return jax.vmap(one)(targets)
+
+    return jax.vmap(per_slot)(jnp.arange(ns, dtype=I32), ranks)
 
 
 def _slot_rank_select_rows(cum, vm8, slot32, ranks):

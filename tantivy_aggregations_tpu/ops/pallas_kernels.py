@@ -367,6 +367,105 @@ def _chain_blocks_batched(pmat, planes, pay, mask_of, interpret: bool):
     return counts, sums
 
 
+# ---------------------------------------------------------------------------
+# chain_slot_counts: fused chain mask -> per-32-row-block PER-SLOT counts
+# ---------------------------------------------------------------------------
+#
+# The slot_rank nested-percentiles path (percentiles under dense bucket
+# ancestors, SURVEY.md §3.5) needs, per query, chain-matched counts per
+# 32-row block of the value-sorted layout CONDITIONED on the ancestor's
+# composite bucket slot. The XLA formulation materializes the [R] mask, a
+# [R] slot plane and a [R/32, ns] one-hot count per query — ~10 bytes of
+# per-query HBM state per row, which forced msearch groups down to 32 and
+# put a [B, R/32, ns] cumsum on the critical path (bench c9: 2.1 ms/q).
+# This kernel keeps the mask in VMEM (same custom_vmap batching shape as
+# chain_blocks), conditions on a STATIC transposed slot plane, and emits
+# only [ns, R/32] int32 counts per query; selection re-derives 32-row mask
+# windows lazily from the untransposed planes (compile.py
+# _slot_rank_select_rows_lazy), so nothing [R]-sized stays live per query.
+
+def chain_slot_counts_supported(n_rows: int, ns: int,
+                                b_max: int = 128) -> bool:
+    return (n_rows > 0 and n_rows % 4096 == 0
+            and _cb_pick_blkc(n_rows // 32, b_max, ns) is not None)
+
+
+def _chain_slot_counts_batched(pmat, planes, slot, ns, mask_of,
+                               interpret: bool):
+    """pmat: int32 [B, P]; planes: chain planes [32, G] (transposed, incl.
+    'avalid'); slot: STATIC int32 [32, G] composite slot ids (-1 = none).
+    Returns [B, ns, G] int32 matched counts per 32-row block per slot."""
+    names = sorted(planes)
+    G = planes[names[0]].shape[1]
+    B, P = pmat.shape
+    blkc = _cb_pick_blkc(G, B, ns)
+    grid = G // blkc
+
+    def kernel(pref, *refs):
+        chain_refs = refs[:len(names)]
+        slot_ref = refs[len(names)]
+        out_refs = refs[len(names) + 1:]
+        vals = {nm: (jax.lax.convert_element_type(chain_refs[i][:], I32)
+                     if chain_refs[i].dtype == jnp.int8 else chain_refs[i][:])
+                for i, nm in enumerate(names)}
+        sv = slot_ref[:]
+        soh = [sv == s for s in range(ns)]  # query-independent one-hots
+        biota = jax.lax.broadcasted_iota(I32, (B, blkc), 0)
+        acc = [jnp.zeros((B, blkc), I32) for _ in range(ns)]
+        for b in range(B):
+            pvq = [pref[b, j] for j in range(P)]
+            m = mask_of(vals, pvq)  # bool [32, blkc]
+            for s in range(ns):
+                c = jnp.where(m & soh[s], 1, 0).sum(axis=0, keepdims=True)
+                acc[s] = jnp.where(biota == b, c, acc[s])
+        for s in range(ns):
+            out_refs[s][:, :] = acc[s]
+
+    in_specs = [pl.BlockSpec((B, P), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec((32, blkc), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+                 for _ in range(len(names) + 1)]
+    out_spec = pl.BlockSpec((B, blkc), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=[out_spec] * ns,
+            out_shape=[jax.ShapeDtypeStruct((B, G), jnp.int32)
+                       for _ in range(ns)],
+            interpret=interpret,
+        )(pmat, *(planes[nm] for nm in names), slot)
+    return jnp.stack(outs, axis=1)  # [B, ns, G]
+
+
+def make_chain_slot_counts(mask_of, ns: int, interpret: bool = False):
+    """A (pvec [P] i32, planes dict, slot [32, G] i32) -> [ns, R/32] i32
+    per-slot block-count function with a batching rule that evaluates ALL
+    vmapped queries in one plane pass (mask_of contract as in
+    make_chain_counts; the slot plane must be static/unbatched)."""
+
+    @jax.custom_batching.custom_vmap
+    def csc(pvec, planes, slot):
+        return _chain_slot_counts_batched(pvec[None, :], planes, slot, ns,
+                                          mask_of, interpret)[0]
+
+    @csc.def_vmap
+    def _csc_vmap(axis_size, in_batched, pvec, planes, slot):
+        if any(jax.tree_util.tree_leaves(in_batched[1])) or in_batched[2]:
+            raise NotImplementedError(
+                "chain_slot_counts planes cannot be batched")
+        if not in_batched[0]:
+            pvec = jnp.broadcast_to(pvec[None, :], (axis_size,
+                                                    pvec.shape[0]))
+        return _chain_slot_counts_batched(pvec, planes, slot, ns, mask_of,
+                                          interpret), True
+
+    return csc
+
+
 def make_chain_blocks(mask_of, interpret: bool = False):
     """A (pvec [P] i32, planes dict, pay dict) -> (counts [R/32] i32,
     {name: (hi, lo) [R/32] i32}) function with a batching rule that

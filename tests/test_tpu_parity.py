@@ -220,3 +220,24 @@ def test_prefix_pallas_compiled(idx):
     if on_tpu:
         assert prog2.plan[("a", "t")].get("pallas_prefix")
     run(idx, q2, aggs2)
+
+
+def test_slot_rank_pallas_compiled(idx):
+    """The chain_slot_counts kernel (fused slot_rank nested-percentile
+    counts) lowers through Mosaic on the chip and per-bucket percentile
+    fruits stay bit-identical to the oracle. The CPU suite only interprets
+    this kernel (tests/test_pallas_slots.py); this is the compiled pin."""
+    import jax
+    s = idx.searcher()
+    on_tpu = jax.default_backend() == "tpu"
+    q = RangeQuery("amount", lower=100, upper=9000)
+    aggs = {"t": terms_agg("status", size=4,
+                           sub_aggs={"p": percentiles_agg(
+                               "price", (25.0, 50.0, 75.0))})}
+    prog = s._program_for(q, aggs)
+    assert prog.plan[("a", "t", "p")]["pmode"] == "slot_rank"
+    if on_tpu:  # CPU lane plans pallas_slots=False (no interpret config)
+        assert prog.plan[("a", "t", "p")].get("pallas_slots"), \
+            f"slot_rank fell off the kernel path: " \
+            f"{prog.plan[('a', 't', 'p')]}"
+    run(idx, q, aggs)
