@@ -45,8 +45,9 @@ sharded meshes select nested percentiles by per-slot cross-shard bisection
 and nested top_hits by per-shard top-k + one [ns, D*k] merge sort.
 Remaining device limits route to the exact host fallback via
 NotImplementedError at plan time (searcher._HostFallback): non-integer
-percents under bucket aggs on a sharded mesh, bucket aggs nested under a
-multi-valued bucket field, in-slot top_hits over huge (>4096) flat bucket
+percents under bucket aggs on a sharded mesh, more than one level of
+multi-valued bucket nesting (one level lowers via the static cross-product
+expansion — _build_xpand), in-slot top_hits over huge (>4096) flat bucket
 spaces, and histograms whose column-span bucket count exceeds
 MAX_HIST_NB_HOST (the host applies the realized-span ceiling — the one
 refusal condition, defined in oracle/engine.py::_check_hist_span).
@@ -132,6 +133,10 @@ class Program:
                  or self.config.pallas_interpret)
             and PK.supported(dindex.T))
         self.plan: Dict[tuple, dict] = {}
+        #: nearest multi-valued bucket ancestor whose VALUE ROWS form the
+        #: current row space during planning (None = doc-rooted;
+        #: "__deep__" = an expansion already re-based the row space)
+        self._mparent = None
         self._arrays: Dict[str, object] = {"alive": dindex.alive}
         self._root_chain = ((query, ("q",)),)
         self._plan_aggs(aggs, ("a",), in_slot=False, parent_single=True,
@@ -704,6 +709,86 @@ class Program:
         self._need(prefix + tkey, layout.cache[tkey])
         p["slotk"], p["slotk_T"] = key, tkey
 
+    #: per-shard cap on the (parent-row x child-row) expansion length — a
+    #: pathological fan-out (huge per-doc value lists on both fields) routes
+    #: to the exact host fallback instead of exhausting HBM
+    _XPAND_CAP = 1 << 23
+
+    def _build_xpand(self, pfield: str, cfield: str):
+        """STATIC cross-product expansion of a multi-valued bucket CHILD
+        under a multi-valued row-space ANCESTOR (SURVEY.md §3.2's weighted
+        recursion on device): E rows, one per (parent value row, child
+        value row) pair sharing a doc. All planes are query-independent and
+        shard-local (value rows of both fields partition by owning doc's
+        shard, so pairs never cross shards): prow/crow gather the parent
+        slot plane / child bucket ids, doc feeds metric sub-aggs. Returns
+        the registered array keys, or None when the expansion exceeds the
+        per-shard cap (caller falls back to the exact host path)."""
+        from ..index.loader import _put, _mesh_D, PAD_BLOCK
+        pcol, ccol = self._col(pfield), self._col(cfield)
+        ckey = ("xpand", pfield)
+        if ccol._bid_cache is None:
+            ccol._bid_cache = {}
+        if ckey not in ccol._bid_cache:
+            D = _mesh_D(self.dindex.mesh)
+            Tl = self.dindex.T // D
+            pd_all = pcol._host_doc.astype(np.int64)
+            cd_all = ccol._host_doc.astype(np.int64)
+            pv_all = pcol._host_valid
+            cv_all = ccol._host_valid
+            Prl, Crl = len(pd_all) // D, len(cd_all) // D
+            shards = []
+            for s in range(D):
+                pd = pd_all[s * Prl:(s + 1) * Prl]
+                pv = pv_all[s * Prl:(s + 1) * Prl]
+                cd = cd_all[s * Crl:(s + 1) * Crl]
+                cv = cv_all[s * Crl:(s + 1) * Crl]
+                idx_c = np.nonzero(cv)[0]
+                cnt = np.bincount(cd[idx_c], minlength=Tl)
+                coff = np.zeros(Tl + 1, np.int64)
+                np.cumsum(cnt, out=coff[1:])
+                idx_p = np.nonzero(pv)[0]
+                reps = cnt[pd[idx_p]]
+                E = int(reps.sum())
+                prow = np.repeat(idx_p, reps)
+                starts = np.repeat(coff[pd[idx_p]], reps)
+                within = (np.arange(E, dtype=np.int64)
+                          - np.repeat(np.cumsum(reps) - reps, reps))
+                crow = idx_c[starts + within]
+                shards.append((prow.astype(np.int32),
+                               crow.astype(np.int32),
+                               pd[prow].astype(np.int32)))
+            epad = max((len(sh[0]) for sh in shards), default=0)
+            epad = max(PAD_BLOCK, -(-epad // PAD_BLOCK) * PAD_BLOCK)
+            if epad > self._XPAND_CAP:
+                ccol._bid_cache[ckey] = None
+            else:
+                def padcat(i, fill):
+                    return np.concatenate(
+                        [np.concatenate([sh[i], np.full(epad - len(sh[i]),
+                                                        fill, np.int32)])
+                         for sh in shards])
+                xval = np.concatenate(
+                    [np.concatenate([np.ones(len(sh[0]), np.int8),
+                                     np.zeros(epad - len(sh[0]), np.int8)])
+                     for sh in shards])
+                mesh = self.dindex.mesh
+                ccol._bid_cache[ckey] = {
+                    "prow": _put(padcat(0, 0), mesh),
+                    "crow": _put(padcat(1, 0), mesh),
+                    "doc": _put(padcat(2, 0), mesh),
+                    "valid": _put(xval, mesh),
+                }
+        planes = ccol._bid_cache[ckey]
+        if planes is None:
+            return None
+        keys = {}
+        for nm, arr in planes.items():
+            k = f"XP:{pfield}>{cfield}#{nm}"
+            self._need(k, arr)
+            keys[nm] = k
+        return keys
+
     def _need_bounds32(self, prefix, layout):
         """Register a bucket layout's 32-unit bounds: [card+1] unsharded,
         [D, card+1] sharded (axis 0 over 'd' — each shard sees its own
@@ -1074,16 +1159,21 @@ class Program:
     def _plan_histogram(self, node, path, *, in_slot, parent_single, hdims,
                         tflat, chain, bchain=()):
         col = self._col(node.field)
-        if in_slot and not parent_single and col.multi:
-            # multi-valued child under a multi-valued parent needs the
-            # cross-product of two CSR row spaces; the exact host path
-            # (Searcher._HostFallback) executes it
-            raise NotImplementedError(
-                "multi-valued bucket agg nested under a multi-valued "
-                "bucket field")
-        self._need_col_planes(col)
         p = {"kind": "histogram", "ftype": col.ftype, "multi": col.multi,
              "hdims": hdims}
+        if in_slot and not parent_single and col.multi:
+            # multi-valued child under a multi-valued row-space ancestor:
+            # static (parent row x child row) cross-product expansion
+            # (_build_xpand). One level only; deeper nests / oversize
+            # fan-outs answer through the exact host fallback.
+            xp = (self._build_xpand(self._mparent, node.field)
+                  if self._mparent not in (None, "__deep__") else None)
+            if xp is None:
+                raise NotImplementedError(
+                    "multi-valued bucket agg nested under a multi-valued "
+                    "bucket field (no device expansion for this shape)")
+            p["xpand"] = xp
+        self._need_col_planes(col)
         p.update(self._hist_layout(col, node))
         nb = p["nb"]
         if tflat * nb >= 2**31:
@@ -1136,16 +1226,25 @@ class Program:
                       if (bchain is not None and p["chain_ok"]
                           and p["mode"] == "dense"
                           and not col.multi) else None)
-        for name, sub in node.sub_aggs:
-            # parent_single = "the slot context stays doc-rooted": AND of
-            # every ancestor's chain_ok (one multi ancestor forces all
-            # descendants into row-space chaining)
-            self._plan_aggs(sub, path + (name,), in_slot=True,
-                            parent_single=parent_single and p["chain_ok"],
-                            hdims=hdims + (nb,), tflat=tflat * nb,
-                            chain=chain,
-                            bchain=sub_bchain if bchain is not None
-                            and sub_bchain is not None else None)
+        prev_mp = self._mparent
+        if "xpand" in p:
+            self._mparent = "__deep__"  # expansion rows, not a field's rows
+        elif col.multi and not p.get("plane_fanout"):
+            self._mparent = node.field  # children chain over THIS row space
+        try:
+            for name, sub in node.sub_aggs:
+                # parent_single = "the slot context stays doc-rooted": AND
+                # of every ancestor's chain_ok (one multi ancestor forces
+                # all descendants into row-space chaining)
+                self._plan_aggs(sub, path + (name,), in_slot=True,
+                                parent_single=parent_single
+                                and p["chain_ok"],
+                                hdims=hdims + (nb,), tflat=tflat * nb,
+                                chain=chain,
+                                bchain=sub_bchain if bchain is not None
+                                and sub_bchain is not None else None)
+        finally:
+            self._mparent = prev_mp
 
     def _has_terms(self, node) -> bool:
         if isinstance(node, A.TermsAgg):
@@ -1167,12 +1266,17 @@ class Program:
     def _plan_terms(self, node, path, *, in_slot, parent_single, hdims,
                     tflat, chain, bchain=()):
         col = self._col(node.field)
-        if in_slot and not parent_single and col.multi:
-            raise NotImplementedError(
-                "multi-valued bucket agg nested under a multi-valued "
-                "bucket field")
         p = {"kind": "terms", "ftype": col.ftype, "multi": col.multi,
              "hdims": hdims}
+        if in_slot and not parent_single and col.multi:
+            # see _plan_histogram: device cross-product expansion, one level
+            xp = (self._build_xpand(self._mparent, node.field)
+                  if self._mparent not in (None, "__deep__") else None)
+            if xp is None:
+                raise NotImplementedError(
+                    "multi-valued bucket agg nested under a multi-valued "
+                    "bucket field (no device expansion for this shape)")
+            p["xpand"] = xp
         self._need_col_planes(col)
         if col.ftype.is_stringy:
             card = col.card
@@ -1250,13 +1354,22 @@ class Program:
                           if (bchain is not None and p["chain_ok"]
                               and p["mode"] == "dense"
                               and not col.multi) else None)
-            for name, sub in node.sub_aggs:
-                self._plan_aggs(sub, path + (name,), in_slot=True,
-                                parent_single=parent_single and p["chain_ok"],
-                                hdims=sub_hdims, tflat=tflat * card,
-                                chain=chain,
-                                bchain=sub_bchain if bchain is not None
-                                and sub_bchain is not None else None)
+            prev_mp = self._mparent
+            if "xpand" in p:
+                self._mparent = "__deep__"
+            elif col.multi and not p.get("plane_fanout"):
+                self._mparent = node.field
+            try:
+                for name, sub in node.sub_aggs:
+                    self._plan_aggs(sub, path + (name,), in_slot=True,
+                                    parent_single=parent_single
+                                    and p["chain_ok"],
+                                    hdims=sub_hdims, tflat=tflat * card,
+                                    chain=chain,
+                                    bchain=sub_bchain if bchain is not None
+                                    and sub_bchain is not None else None)
+            finally:
+                self._mparent = prev_mp
 
     @staticmethod
     def _facet_children(col, path: str) -> np.ndarray:
@@ -1907,7 +2020,18 @@ class Program:
             bid = bid_own
             dims = (nb,)
         else:
-            if ctx.slot_of_doc is None:
+            if p.get("xpand"):
+                # multi child under a multi row-space ancestor: static
+                # (parent row, child row) pair expansion — each pair is one
+                # collect of this child (§3.2 weighted recursion on device)
+                xp = p["xpand"]
+                prow, crow = arrays[xp["prow"]], arrays[xp["crow"]]
+                rdoc = arrays[xp["doc"]]
+                rows_are_docs = False
+                pslot = jnp.where(ctx.valid, ctx.bid, -1)[prow]
+                valid = (arrays[xp["valid"]] > 0) & (pslot >= 0)
+                bid_c = bid_own[crow]
+            elif ctx.slot_of_doc is None:
                 # row-space chaining under a multi-valued ancestor: each
                 # parent value row is one collect of this child (§3.2
                 # occurrence weighting); child values gather at the row's doc
@@ -2012,7 +2136,18 @@ class Program:
             anc_flat = 1
             dims = (card,)
         else:
-            if ctx.slot_of_doc is None:
+            if p.get("xpand"):
+                # multi child under a multi row-space ancestor: static pair
+                # expansion (see _eval_histogram / _build_xpand)
+                xp = p["xpand"]
+                prow, crow = arrays[xp["prow"]], arrays[xp["crow"]]
+                rdoc = arrays[xp["doc"]]
+                rows_are_docs = False
+                ids_r = ids[crow]
+                pslot = jnp.where(ctx.valid, ctx.bid, -1)[prow]
+                valid = ((arrays[xp["valid"]] > 0) & (pslot >= 0)
+                         & (ids_r >= 0))
+            elif ctx.slot_of_doc is None:
                 # row-space chaining under a multi-valued ancestor (see
                 # _eval_histogram): child ids gather at each parent row's doc
                 rdoc = ctx.doc

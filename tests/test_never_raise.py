@@ -4,7 +4,8 @@ NotImplementedError from agg_search (VERDICT r1 missing #3 / weak #4).
 
 Covers: f64 histograms beyond the dense budget (prefix/scatter layouts),
 bucket aggs nested under multi-valued bucket fields (row-space chaining),
-multi-under-multi cross products (host fallback), percentiles/top_hits
+multi-under-multi cross products (device pair expansion; deeper nests via
+the host fallback), percentiles/top_hits
 under buckets (host fallback), and fallback behavior in msearch/stream."""
 
 import numpy as np
@@ -122,20 +123,45 @@ def test_deep_nesting_under_multi_parent():
                                  sub_aggs={"s": sum_agg("qty")})})})})
 
 
-def test_multi_under_multi_host_fallback():
+def test_multi_under_multi_device_expansion():
     """Multi-valued bucket agg under a multi-valued parent (cross-product
-    of CSR row spaces) runs through the exact host fallback — no raise."""
+    of CSR row spaces) now lowers on device via the static (parent row,
+    child row) pair expansion (aggs/compile.py _build_xpand) — no host
+    fallback, bit-identical to the oracle's weighted recursion."""
     from tantivy_aggregations_tpu.searcher import _HostFallback
     idx = multi_index()
-    # numeric multi parent: no plane fan-out, chain_ok False -> a multi
-    # child has no device lowering (two CSR row spaces)
+    # numeric multi parent: no plane fan-out, chain_ok False -> the multi
+    # child rides the expansion planes
     aggs = {"t": terms_agg("counts", size=10, sub_aggs={
         "c": terms_agg("tags", size=5)})}
     s = idx.searcher()
     got = s.agg_search(MatchAllQuery(), aggs)
     assert got == idx.oracle_searcher().agg_search(MatchAllQuery(), aggs)
     prog = s._program_for(MatchAllQuery(), aggs)
-    assert isinstance(prog, _HostFallback)
+    assert not isinstance(prog, _HostFallback)
+    assert prog.plan[("a", "t", "c")].get("xpand"), \
+        prog.plan[("a", "t", "c")]
+    # MULTI histogram child (cross product with the parent's own rows)
+    # with metric subs, under a query
+    aggs2 = {"t": terms_agg("counts", size=8, sub_aggs={
+        "h": histogram_agg("counts", interval=2,
+                           sub_aggs={"s": sum_agg("qty"),
+                                     "p": sum_agg("price"),
+                                     "n": count_agg()})})}
+    q2 = RangeQuery("qty", lower=2)
+    check(idx, q2, aggs2)
+    prog2 = idx.searcher()._program_for(q2, aggs2)
+    assert prog2.plan[("a", "t", "h")].get("xpand")
+    # THREE multi levels: the expansion re-bases the row space once; a
+    # deeper multi bucket still answers through the exact host fallback
+    aggs3 = {"t": terms_agg("counts", size=6, sub_aggs={
+        "c": terms_agg("tags", size=5, sub_aggs={
+            "c2": terms_agg("counts", size=4)})})}
+    s3 = idx.searcher()
+    got3 = s3.agg_search(MatchAllQuery(), aggs3)
+    assert got3 == idx.oracle_searcher().agg_search(MatchAllQuery(), aggs3)
+    assert isinstance(s3._program_for(MatchAllQuery(), aggs3),
+                      _HostFallback)
 
 
 def test_percentiles_under_bucket_fallbacks():

@@ -293,3 +293,19 @@ def test_sharded_in_slot_top_hits(mesh):
         got = s.agg_search(q, aggs)
         want = o.agg_search(q, aggs)
         assert got == want, f"\nsharded: {got}\noracle:  {want}"
+
+
+def test_sharded_multi_under_multi_expansion(mesh):
+    """The static cross-product expansion (multi bucket child under a multi
+    row-space ancestor) is built PER SHARD (value rows of both fields
+    partition by owning doc's shard, so pairs never cross shards) and its
+    fruits psum-merge bit-identically."""
+    idx = random_index(seed=55, n_docs=3000)
+    aggs = {"t": terms_agg("counts", size=8, sub_aggs={
+        "c": terms_agg("tags", size=5, sub_aggs={"s": sum_agg("qty")})})}
+    s = idx.searcher(mesh=mesh)
+    prog = s._program_for(MatchAllQuery(), aggs)
+    assert prog.plan[("a", "t", "c")].get("xpand"), \
+        prog.plan[("a", "t", "c")]
+    check(idx, mesh, MatchAllQuery(), aggs)
+    check(idx, mesh, RangeQuery("qty", lower=100, upper=800), aggs)
