@@ -48,6 +48,7 @@ from .query.ir import (  # noqa: E402
     RangeQuery,
     BooleanQuery,
     ExistsQuery,
+    PhraseQuery,
     PrefixQuery,
 )
 from .aggs.ir import (  # noqa: E402
@@ -89,6 +90,7 @@ __all__ = [
     "RangeQuery",
     "BooleanQuery",
     "ExistsQuery",
+    "PhraseQuery",
     "PrefixQuery",
     "count_agg",
     "sum_agg",

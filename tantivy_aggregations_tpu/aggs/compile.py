@@ -421,7 +421,7 @@ class Program:
             for c in (*q.must, *q.should, *q.must_not):
                 self._collect_query_arrays(c)
         elif isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery,
-                            Q.ExistsQuery)):
+                            Q.ExistsQuery, Q.PhraseQuery)):
             self._need_col_planes(self._col(q.field))
 
     def _chain_fields(self, chain):

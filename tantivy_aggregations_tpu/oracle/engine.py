@@ -43,6 +43,40 @@ class OracleSearcher:
             if fd.offsets is None:
                 return np.ones(seg.max_doc, dtype=bool)
             return np.diff(fd.offsets.astype(np.int64)) > 0
+        if isinstance(q, Q.PhraseQuery):
+            # spec (§A.13): the doc's TEXT tokens form ONE concatenated
+            # position-ordered stream (multi-value docs concatenate values,
+            # so phrases may match across adjacent values); a doc matches
+            # iff the stream contains the phrase tokens adjacently in
+            # order. Zero tokens match nothing.
+            entry = self.schema.field(q.field)
+            if entry.type != FieldType.TEXT:
+                raise TypeError("phrase query requires a text field")
+            fd = seg.fields[q.field]
+            toks = q.tokens
+            if len(toks) == 0:
+                return np.zeros(seg.max_doc, dtype=bool)
+            terms = np.asarray(fd.terms, dtype=object)
+            ords = []
+            for t in toks:
+                i = int(np.searchsorted(terms, t))
+                if i >= len(terms) or terms[i] != t:
+                    return np.zeros(seg.max_doc, dtype=bool)
+                ords.append(np.uint32(i))
+            v = fd.values
+            n = len(ords)
+            V = v.shape[0]
+            if V < n:
+                return np.zeros(seg.max_doc, dtype=bool)
+            reps = np.diff(fd.offsets.astype(np.int64))
+            doc_of_val = np.repeat(np.arange(seg.max_doc), reps)
+            hits = v[: V - n + 1] == ords[0]
+            for j in range(1, n):
+                hits &= v[j: V - n + 1 + j] == ords[j]
+            hits &= doc_of_val[: V - n + 1] == doc_of_val[n - 1:]
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            mask[doc_of_val[: V - n + 1][hits]] = True
+            return mask
         if isinstance(q, Q.PrefixQuery):
             # spec-first (independent of the engine's ordinal-range
             # lowering): a term matches iff it startswith the prefix

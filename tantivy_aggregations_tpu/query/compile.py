@@ -95,6 +95,17 @@ def _extract(q, dindex, path, out) -> None:
                 out[f"{k}:tl{i}"] = np.int32(lo)
                 out[f"{k}:tv{i}"] = np.int32(1 if w is not None else 0)
         return
+    if isinstance(q, Q.PhraseQuery):
+        entry = dindex.schema.field(q.field)
+        if entry.type != FieldType.TEXT:
+            raise TypeError("phrase query requires a text field")
+        k = _key(path)
+        for i, tok in enumerate(q.tokens):
+            ordv = dindex.keyword_ord(q.field, tok)
+            # -2 sentinel (like missing TermQuery ordinals): never equals a
+            # stored ordinal (>= 0) nor the -1 fill of shifted windows
+            out[f"{k}:p{i}"] = np.int32(ordv if ordv >= 0 else -2)
+        return
     if isinstance(q, Q.PrefixQuery):
         entry = dindex.schema.field(q.field)
         if not entry.type.is_stringy or entry.type == FieldType.BYTES:
@@ -230,7 +241,7 @@ def query_fields(q: Q.Query, out=None) -> set:
     if out is None:
         out = set()
     if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery,
-                      Q.ExistsQuery)):
+                      Q.ExistsQuery, Q.PhraseQuery)):
         out.add(q.field)
     elif isinstance(q, Q.BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
@@ -258,6 +269,51 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
         if col.ftype.is_stringy:
             return arrays[prefix + f"{q.field}:w"] >= 0
         return jnp.ones(T, dtype=bool)
+    if isinstance(q, Q.PhraseQuery):
+        col = dindex.column(q.field)
+        k = _key(path)
+        n = len(q.tokens)
+        if n == 0:
+            return jnp.zeros(T, dtype=bool)
+        if col.has_multi_planes and not col.has_tail:
+            # dense per-position planes: plane index IS the token position,
+            # so the phrase is an OR over start positions of ANDed per-plane
+            # compares — doc-aligned, permutes like any plane (works under
+            # permuted views and inside the Pallas chain kernels)
+            K = len(col.multi_planes_host)
+            m = jnp.zeros(T, dtype=bool)
+            for p0 in range(0, K - n + 1):
+                mm = (arrays[prefix + f"{q.field}:mp{p0}"]
+                      == params[f"{k}:p0"])
+                for j in range(1, n):
+                    mm &= (arrays[prefix + f"{q.field}:mp{p0 + j}"]
+                           == params[f"{k}:p{j}"])
+                m |= mm
+            return m
+        if prefix:
+            raise NotImplementedError(
+                "CSR query field under a permuted view")
+        # CSR token stream (position-ordered by construction): the phrase
+        # is a SHIFTED AND over the ordinal plane; the window's last row
+        # must be a real row of the SAME doc (rows of one doc are
+        # contiguous, so the endpoints pin the whole window)
+        w = arrays[f"{q.field}:w"]
+        doc = arrays[f"{q.field}:doc"]
+        valid = arrays[f"{q.field}:valid"] > 0
+
+        def shift(x, j, fill):
+            if j == 0:
+                return x
+            return jnp.concatenate(
+                [x[j:], jnp.full((j,), fill, x.dtype)])
+
+        hits = valid & (w == params[f"{k}:p0"])
+        for j in range(1, n):
+            hits &= shift(w, j, -1) == params[f"{k}:p{j}"]
+        if n > 1:
+            hits &= shift(valid, n - 1, False)
+            hits &= shift(doc, n - 1, -1) == doc
+        return R.values_hit_to_doc_mask(hits, doc, T)
     if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery)):
         # prefix queries carry the same :lo/:hi ordinal params as string
         # ranges and share the range compare paths below

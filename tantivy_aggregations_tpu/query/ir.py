@@ -66,6 +66,33 @@ class PrefixQuery(Query):
 
 
 @dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Matches docs whose TEXT token stream contains the phrase's tokens
+    ADJACENTLY and in order (tantivy `PhraseQuery` analog, zero slop —
+    SURVEY.md §2.2 T7 era surface; spec in §A.13). `text` is run through
+    the same tokenizer as indexing. Spec choice (§A.13): a multi-value
+    text field indexes one concatenated token stream per doc, so phrases
+    may match across adjacent values. Zero tokens match nothing; one
+    token behaves like a TermQuery on the token.
+
+    Lowering: the stored CSR token stream is position-ordered, so the
+    phrase is a SHIFTED AND over the ordinal plane (row r matches iff
+    ord[r+j] == token_j for all j and row r+n-1 is the same doc) — or,
+    for docs within the dense per-position planes, an OR over start
+    positions of per-plane compares (which also rides permuted views and
+    the Pallas chain kernels). Token ordinals are traced params: same
+    token COUNT never recompiles."""
+
+    field: str
+    text: str
+
+    @property
+    def tokens(self) -> Tuple[str, ...]:
+        from ..utils.tokenize import tokenize
+        return tuple(tokenize(self.text))
+
+
+@dataclass(frozen=True)
 class ExistsQuery(Query):
     """Matches docs holding at least one value for `field`. Single-valued
     numeric fields always hold a value (missing -> type default, SURVEY.md
@@ -104,6 +131,10 @@ def structural_key(q: Query) -> tuple:
         return ("exists", q.field)
     if isinstance(q, PrefixQuery):
         return ("prefix", q.field)
+    if isinstance(q, PhraseQuery):
+        # token COUNT is structural (static shift/plane-window count);
+        # the token ordinals themselves are traced params
+        return ("phrase", q.field, len(q.tokens))
     if isinstance(q, RangeQuery):
         return (
             "range",

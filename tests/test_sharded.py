@@ -309,3 +309,25 @@ def test_sharded_multi_under_multi_expansion(mesh):
         prog.plan[("a", "t", "c")]
     check(idx, mesh, MatchAllQuery(), aggs)
     check(idx, mesh, RangeQuery("qty", lower=100, upper=800), aggs)
+
+
+def test_sharded_phrase_query(mesh):
+    """PhraseQuery over sharded CSR token streams: rows of one doc never
+    cross shards, so the shifted-AND stays shard-local; padding/boundary
+    windows are killed by the shifted valid plane."""
+    from tantivy_aggregations_tpu import Index, PhraseQuery, SchemaBuilder
+    import numpy as np
+    schema = (SchemaBuilder().add_text_field("body")
+              .add_u64_field("qty").build())
+    idx = Index.create_in_ram(schema)
+    w = idx.writer()
+    rng = np.random.default_rng(9)
+    vocab = ["v%d" % i for i in range(8)]
+    for i in range(500):
+        toks = [vocab[int(t)] for t in rng.integers(0, 8,
+                                                    int(rng.integers(0, 20)))]
+        w.add_document({"body": " ".join(toks), "qty": int(i % 97)})
+    w.commit()
+    for text in ("v1 v2", "v3", "v0 v0 v1"):
+        check(idx, mesh, PhraseQuery("body", text),
+              {"n": count_agg(), "s": sum_agg("qty")})

@@ -241,3 +241,29 @@ def test_slot_rank_pallas_compiled(idx):
             f"slot_rank fell off the kernel path: " \
             f"{prog.plan[('a', 't', 'p')]}"
     run(idx, q, aggs)
+
+
+def test_phrase_query_on_device(idx):
+    """PhraseQuery shifted-AND + scatter-or doc-mask lowering on the live
+    backend (CSR stream path), small dedicated text index."""
+    import numpy as np
+    from tantivy_aggregations_tpu import PhraseQuery, SchemaBuilder
+    schema = (SchemaBuilder().add_text_field("body")
+              .add_u64_field("q").build())
+    tix = Index.create_in_ram(schema)
+    w = tix.writer()
+    rng = np.random.default_rng(17)
+    vocab = ["p%d" % i for i in range(6)]
+    for i in range(400):
+        toks = [vocab[int(t)] for t in rng.integers(0, 6,
+                                                    int(rng.integers(0, 16)))]
+        w.add_document({"body": " ".join(toks), "q": int(i)})
+    w.commit()
+    for text in ("p1 p2", "p0 p0", "p3 p4 p5"):
+        got = tix.searcher().agg_search(PhraseQuery("body", text),
+                                        {"n": count_agg(),
+                                         "s": sum_agg("q")})
+        want = tix.oracle_searcher().agg_search(
+            PhraseQuery("body", text), {"n": count_agg(),
+                                        "s": sum_agg("q")})
+        assert got == want
