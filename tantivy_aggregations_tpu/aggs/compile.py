@@ -1577,7 +1577,24 @@ class Program:
             if col.multi:
                 pre = f"{field}:pre:"
                 cnt_doc = arrays[pre + "cnt"]
-                out["cnt"] = self._madd(R.ts_sum_plane(cnt_doc, ctx.mask))
+                sum_cols = (
+                    [arrays[pre + "sum"][:, i]
+                     for i in range(arrays[pre + "sum"].shape[1])]
+                    if need_sum else [])
+                if self.config.dense_mxu:
+                    # cnt + every limb plane in ONE chunked MXU pass
+                    sums = R.masked_sum_planes_mxu(ctx.mask,
+                                                   [cnt_doc] + sum_cols)
+                    out["cnt"] = self._madd(sums[0])
+                    if need_sum:
+                        out["sum"] = self._madd(sums[1:])
+                else:
+                    out["cnt"] = self._madd(
+                        R.ts_sum_plane(cnt_doc, ctx.mask))
+                    if need_sum:
+                        out["sum"] = self._madd(jnp.stack(
+                            [R.ts_sum_plane(c, ctx.mask)
+                             for c in sum_cols]))
                 mm_mask = ctx.mask & (cnt_doc > 0)
                 if need_min:
                     out["min"] = self._mmin(self._pre_minmax(
@@ -1585,11 +1602,6 @@ class Program:
                 if need_max:
                     out["max"] = self._mmax(self._pre_minmax(
                         arrays, pre, "max", mm_mask, col, False))
-                if need_sum:
-                    planes = arrays[pre + "sum"]
-                    out["sum"] = self._madd(jnp.stack(
-                        [R.ts_sum_plane(planes[:, i], ctx.mask)
-                         for i in range(planes.shape[1])]))
                 return out
             planes = self._planes_only(field, arrays)
             vmask = ctx.mask
@@ -1607,13 +1619,13 @@ class Program:
                 if need_sum:
                     if p["direct"]:
                         out["sum"] = tot
-                    else:  # narrow f64: exact signed limb planes
+                    else:  # narrow f64: exact signed limb planes, one
+                        # chunked MXU pass for the whole stack
                         limbs = arrays[f"{field}:limbs"]
                         with jax.enable_x64(True):
-                            out["sum"] = jnp.stack(
-                                [PK.fused_metrics(vmask, limbs[:, i],
-                                                  interpret=interp)[1]
-                                 for i in range(limbs.shape[1])])
+                            out["sum"] = R.masked_sum_planes_mxu(
+                                vmask, [limbs[:, i]
+                                        for i in range(limbs.shape[1])])
                 return out
             out["cnt"] = self._madd(R.ts_count(vmask))
             if need_min:
@@ -1630,6 +1642,11 @@ class Program:
                 if p["direct"]:
                     out["sum"] = self._madd(R.ts_sum_plane(planes["w"],
                                                            vmask))
+                elif self.config.dense_mxu:
+                    limbs = arrays[f"{field}:limbs"]
+                    out["sum"] = self._madd(R.masked_sum_planes_mxu(
+                        vmask, [limbs[:, i]
+                                for i in range(limbs.shape[1])]))
                 else:
                     limbs = arrays[f"{field}:limbs"]
                     out["sum"] = self._madd(jnp.stack(

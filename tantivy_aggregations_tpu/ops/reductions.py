@@ -226,6 +226,37 @@ def dense_bucket_sum_mxu(bid, valid, plane, nb: int) -> jnp.ndarray:
     return out
 
 
+def masked_sum_planes_mxu(mask, planes) -> jnp.ndarray:
+    """Exact int64 masked sums of L int32 planes in ONE chunked MXU pass:
+    sums[l] = sum_r mask[r] * planes[l][r]. The 5 signed 7-bit pieces of
+    every plane concatenate into a single [chunk, 5L] static operand, so an
+    msearch batch pays one matmul stream instead of L VPU reduction passes
+    per query (bench c2's avg-over-multi-valued was 3 such passes).
+    Falls back to ts_sum_plane when rows don't chunk cleanly."""
+    rows = planes[0].shape[0]
+    chunk = _mxu_dense_chunk(rows)
+    if chunk is None or any(p.dtype != I32 for p in planes):
+        return jnp.stack([ts_sum_plane(p, mask) for p in planes])
+    L = len(planes)
+    npieces = 5
+
+    def make_op(c):
+        ops = []
+        for p in planes:
+            v = jax.lax.dynamic_slice_in_dim(p, c * chunk, chunk)
+            for i in range(npieces):
+                pc = (v >> (7 * i)) & 127 if i < npieces - 1 else v >> 28
+                ops.append(pc.astype(jnp.bfloat16))
+        return jnp.stack(ops, axis=1)  # [chunk, L*npieces]
+
+    acc = _dense_mxu_scan(mask, L * npieces, rows // chunk, chunk, make_op)
+    acc = acc.reshape(L, npieces)
+    out = acc[:, npieces - 1] << (7 * (npieces - 1))
+    for i in range(npieces - 2, -1, -1):
+        out = out + (acc[:, i] << (7 * i))
+    return out
+
+
 def dense_bucket_min(bid, valid, plane, nb: int) -> jnp.ndarray:
     b2 = _blocks(bid)
     m2 = _blocks(valid.astype(jnp.bool_)) if valid.dtype != jnp.bool_ \

@@ -102,3 +102,24 @@ def test_dense_mxu_matches_onehot(rows):
         ref_s = jax.vmap(lambda m: R.dense_bucket_sum(bid, m, plane, nb))(vm)
         assert (np.asarray(got_c) == np.asarray(ref_c)).all()
         assert (np.asarray(got_s) == np.asarray(ref_s)).all()
+
+
+def test_masked_sum_planes_mxu_matches_ts():
+    rng = np.random.default_rng(77)
+    for rows in (32768, 2 * 131072, 2048):  # 2048: fallback path
+        planes = [jnp.asarray(rng.integers(-(2**31) + 1, 2**31 - 1,
+                                           rows).astype(np.int32))
+                  for _ in range(3)]
+        with jax.enable_x64(True):
+            m1 = jnp.asarray(rng.random(rows) < 0.5)
+            got = np.asarray(R.masked_sum_planes_mxu(m1, planes))
+            ref = np.asarray(jnp.stack([R.ts_sum_plane(p, m1)
+                                        for p in planes]))
+            assert (got == ref).all(), rows
+            vm = jnp.asarray(rng.random((4, rows)) < 0.5)
+            gotb = np.asarray(jax.vmap(
+                lambda m: R.masked_sum_planes_mxu(m, planes))(vm))
+            refb = np.asarray(jax.vmap(
+                lambda m: jnp.stack([R.ts_sum_plane(p, m)
+                                     for p in planes]))(vm))
+            assert (gotb == refb).all(), rows
