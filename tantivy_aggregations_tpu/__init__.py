@@ -42,6 +42,8 @@ from .schema import Schema, FieldType, Cardinality, SchemaBuilder  # noqa: E402
 from .index.index import Index  # noqa: E402
 from .index.merge_policy import LogMergePolicy  # noqa: E402
 from .searcher import Searcher  # noqa: E402
+from .parallel.shard import make_mesh  # noqa: E402
+from .parallel.replica import ReplicatedSearcher  # noqa: E402
 from .query.ir import (  # noqa: E402
     MatchAllQuery,
     TermQuery,
@@ -85,6 +87,8 @@ __all__ = [
     "Index",
     "LogMergePolicy",
     "Searcher",
+    "make_mesh",
+    "ReplicatedSearcher",
     "MatchAllQuery",
     "TermQuery",
     "RangeQuery",

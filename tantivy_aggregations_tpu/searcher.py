@@ -119,9 +119,19 @@ class Searcher:
         all device->host transfers are batched. (The reference is strictly
         synchronous per query — SURVEY.md §3.1; this is the TPU-native
         serving pattern.)"""
-        # group consecutive same-shape requests, capped so multiple groups
-        # pipeline: each group's device->host copy overlaps the next group's
-        # compute (max_batch in EngineConfig)
+        submitted = self._submit_batch(requests)
+        # phase 2: collect (transfers have been landing in the background)
+        results = []
+        for group in submitted:
+            results.extend(self._collect_group(group))
+        return results
+
+    def _submit_batch(self, requests) -> list:
+        """Phase 1 of agg_search_batch: group consecutive same-shape
+        requests (capped so multiple groups pipeline — each group's
+        device->host copy overlaps the next group's compute) and dispatch
+        every group asynchronously. Returns submitted group handles for
+        _collect_group (also the unit the replica layer round-robins)."""
         groups = []  # (prog, [queries], aggs)
         for query, aggs in requests:
             prog = self._program_for(query, aggs)
@@ -131,14 +141,8 @@ class Searcher:
                 groups[-1][1].append(query)
             else:
                 groups.append((prog, [query], aggs))
-        # phase 1: dispatch everything, starting async host copies per group
-        submitted = [self._submit_group(prog, queries, aggs)
-                     for prog, queries, aggs in groups]
-        # phase 2: collect (transfers have been landing in the background)
-        results = []
-        for group in submitted:
-            results.extend(self._collect_group(group))
-        return results
+        return [self._submit_group(prog, queries, aggs)
+                for prog, queries, aggs in groups]
 
     def _group_cap(self, prog) -> int:
         """msearch group size for one program: the serving batch, shrunk by

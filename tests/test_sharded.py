@@ -331,3 +331,32 @@ def test_sharded_phrase_query(mesh):
     for text in ("v1 v2", "v3", "v0 v0 v1"):
         check(idx, mesh, PhraseQuery("body", text),
               {"n": count_agg(), "s": sum_agg("qty")})
+
+
+def test_replicated_searcher(mesh):
+    """ReplicatedSearcher (ES replica-shard analog): R independent device
+    groups, round-robin msearch, results bit-identical to the oracle and
+    in request order; every replica actually serves."""
+    from tantivy_aggregations_tpu import ReplicatedSearcher
+    from tantivy_aggregations_tpu.engine_config import EngineConfig
+    idx = random_index(seed=77, n_docs=2000)
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("qty"),
+            "t": terms_agg("cat", size=5, sub_aggs={"a": avg_agg("price")})}
+    aggs2 = {"h": histogram_agg("qty", interval=100)}
+    for R in (2, 4, 8):
+        rs = ReplicatedSearcher(idx, replicas=R,
+                                config=EngineConfig(max_batch=4))
+        reqs = []
+        for j in range(37):  # several chunks, mixed shapes mid-stream
+            q = (RangeQuery("qty", lower=j * 9) if j % 3
+                 else TermQuery("cat", "cat0001"))
+            reqs.append((q, aggs if j % 5 else aggs2))
+        want = [o.agg_search(q, a) for q, a in reqs]
+        assert rs.agg_search_batch(reqs) == want
+        assert list(rs.agg_search_stream(iter(reqs), lookahead=2)) == want
+        served = [len(s._programs) for s in rs.searchers]
+        assert all(n > 0 for n in served), served
+        # single-query API rotates replicas
+        assert rs.agg_search(*reqs[0]) == want[0]
+        assert rs.agg_search(*reqs[1]) == want[1]
