@@ -115,6 +115,10 @@ def finalize_cpp(cfg: int, raw: dict) -> dict:
                 "h": {"buckets": [
                     {"key": k, "doc_count": c, "s": {"value": int(s)}}
                     for k, c, s in raw["buckets"]]}}
+    if cfg == 10:  # termset query + count/sum + histogram (§A.14 surface)
+        return {"n": {"value": raw["n"]}, "s": {"value": int(raw["s"])},
+                "h": {"buckets": [{"key": k, "doc_count": c}
+                                  for k, c in raw["buckets"]]}}
     if cfg == 9:  # terms{percentiles} nested slot_rank selection
         pcts = (25.0, 50.0, 75.0)
         buckets = []
@@ -190,7 +194,7 @@ def main():
     if not args.skip_baseline:
         exe = build_baseline()
         manifest = write_manifest(idx, path)
-        for cfg in range(1, 10):
+        for cfg in range(1, 11):
             t0 = time.time()
             out = subprocess.run([exe, manifest, str(cfg), str(cpp_reps)],
                                  capture_output=True, text=True, check=True)

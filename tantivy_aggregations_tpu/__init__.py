@@ -52,6 +52,9 @@ from .query.ir import (  # noqa: E402
     ExistsQuery,
     PhraseQuery,
     PrefixQuery,
+    TermSetQuery,
+    FuzzyTermQuery,
+    RegexQuery,
 )
 from .aggs.ir import (  # noqa: E402
     count_agg,
@@ -96,6 +99,9 @@ __all__ = [
     "ExistsQuery",
     "PhraseQuery",
     "PrefixQuery",
+    "TermSetQuery",
+    "FuzzyTermQuery",
+    "RegexQuery",
     "count_agg",
     "sum_agg",
     "min_agg",

@@ -115,11 +115,46 @@ class SlotCtx:
         return n
 
 
+def _iter_set_queries(query, aggs):
+    """Yield every set-type query node (TermSet/Fuzzy/Regex) reachable from
+    the outer query and the agg tree's filter/post_filter queries."""
+    def walk_q(q):
+        if isinstance(q, (Q.TermSetQuery, Q.FuzzyTermQuery, Q.RegexQuery)):
+            yield q
+        elif isinstance(q, Q.BooleanQuery):
+            for c in (*q.must, *q.should, *q.must_not):
+                yield from walk_q(c)
+
+    def walk_a(node):
+        if isinstance(node, dict):
+            for v in node.values():
+                yield from walk_a(v)
+            return
+        if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
+            yield from walk_q(node.query)
+        for _, sub in getattr(node, "sub_aggs", ()):
+            yield from walk_a(sub)
+
+    yield from walk_q(query)
+    yield from walk_a(aggs)
+
+
 class Program:
     def __init__(self, dindex, query: Q.Query, aggs: Dict[str, A.Agg],
                  config=None):
         from ..engine_config import EngineConfig
         A.validate_agg_tree(dindex.schema, aggs)
+        # set-type queries: prepare-time type/param validation (TypeError/
+        # ValueError, matching the oracle). Run-count overflow is NOT a
+        # construction error — the program's run-slot shape is valid for
+        # every fitting same-shape request; the searcher's accepts() gate
+        # routes individual overflowing requests to the exact host path.
+        from ..utils import termmatch
+        self._set_shape = False
+        for n in _iter_set_queries(query, aggs):
+            self._set_shape = True
+            termmatch.check_set_query_field(dindex.schema.field(n.field).type,
+                                            n)
         self.dindex = dindex
         self.query = query
         self.aggs = aggs
@@ -230,6 +265,22 @@ class Program:
         while b * 2 <= cap:  # power of two: stable vmapped jit shapes
             b *= 2
         return b
+
+    def accepts(self, query, aggs) -> bool:
+        """True when this program can answer `query` exactly: a same-shape
+        request whose set-type query expansions (if any) fit the compiled
+        run slots. The searcher routes rejected requests to the exact host
+        path without evicting the program."""
+        if not self._set_shape:
+            return True
+        return Program.accepts_on(self.dindex, query, aggs)
+
+    @staticmethod
+    def accepts_on(dindex, query, aggs) -> bool:
+        for n in _iter_set_queries(query, aggs):
+            if len(qc.match_runs(dindex, n)) > Q.run_slots(n):
+                return False
+        return True
 
     def run(self, query, aggs):
         return self.finalize(self.submit(query, aggs), aggs)
@@ -421,7 +472,8 @@ class Program:
             for c in (*q.must, *q.should, *q.must_not):
                 self._collect_query_arrays(c)
         elif isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery,
-                            Q.ExistsQuery, Q.PhraseQuery)):
+                            Q.ExistsQuery, Q.PhraseQuery, Q.TermSetQuery,
+                            Q.FuzzyTermQuery, Q.RegexQuery)):
             self._need_col_planes(self._col(q.field))
 
     def _chain_fields(self, chain):

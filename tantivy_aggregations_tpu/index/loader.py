@@ -631,6 +631,8 @@ class DeviceIndex:
     #: program actually touches
     _col_builders: Dict[str, object] = field(default_factory=dict)
     _max_addends: int = 1
+    #: set-type query expansions (query/compile.py match_runs cache)
+    set_query_runs: Dict[tuple, list] = field(default_factory=dict)
 
     @property
     def alive(self) -> jnp.ndarray:

@@ -21,6 +21,7 @@ from .. import (
     RangeQuery,
     SchemaBuilder,
     TermQuery,
+    TermSetQuery,
     avg_agg,
     count_agg,
     date_histogram_agg,
@@ -146,7 +147,21 @@ def extra_configs():
          {"t": terms_agg("status", size=4,
                          sub_aggs={"p": percentiles_agg(
                                        "price", (25.0, 50.0, 75.0))})}),
+        # c10: the set-query surface (§A.14) measured end to end — a
+        # TermSetQuery over the 100k-card sku vocabulary (run-slot compare
+        # lowering) gating count/sum + a dense histogram; the stream
+        # rotates DIFFERENT 8-term sets through one compiled program
+        (10, "c10_termset_query_hist",
+         TermSetQuery("sku", c10_values(0)),
+         {"n": count_agg(), "s": sum_agg("amount"),
+          "h": histogram_agg("amount", interval=500)}),
     ]
+
+
+def c10_values(j: int) -> list:
+    """The j-th rotating sku set for config 10 (8 terms, scattered across
+    the zipf-skewed vocabulary; mirrored by baseline_cpp config10 at j=0)."""
+    return [f"sku{(37 * j + 101 * i) % BENCH_CARD:07d}" for i in range(8)]
 
 
 def varied_requests(cfg: int, aggs, n: int):
@@ -182,6 +197,9 @@ def varied_requests(cfg: int, aggs, n: int):
         return [(RangeQuery("amount", lower=100 + (j % 32),
                             upper=9000 - (j % 32), include_upper=True),
                  aggs)
+                for j in range(n)]
+    if cfg == 10:
+        return [(TermSetQuery("sku", c10_values(j % 32)), aggs)
                 for j in range(n)]
     return [(query, aggs)] * n
 

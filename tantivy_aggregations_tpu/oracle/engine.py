@@ -90,6 +90,29 @@ class OracleSearcher:
             hit_vals = (tmask[fd.values] if len(fd.terms)
                         else np.zeros(fd.values.shape, bool))
             return self._vals_hit_to_doc_mask(hit_vals, fd, seg)
+        if isinstance(q, Q.TermSetQuery):
+            # spec (§A.14): exactly the OR of per-value TermQuery matches
+            m = np.zeros(seg.max_doc, dtype=bool)
+            for v in q.values:
+                m |= self._term_mask(q.field, v, seg)
+            return m
+        if isinstance(q, (Q.FuzzyTermQuery, Q.RegexQuery)):
+            # spec-first (§A.14): the shared per-term predicate
+            # (utils/termmatch.py) marks matching terms of the segment's
+            # table; a doc matches iff it holds a marked term
+            from ..utils import termmatch
+            entry = self.schema.field(q.field)
+            termmatch.check_set_query_field(entry.type, q)
+            fd = seg.fields[q.field]
+            if isinstance(q, Q.FuzzyTermQuery):
+                tmask = termmatch.fuzzy_term_mask(
+                    fd.terms, str(q.term), q.distance, q.transpositions,
+                    q.prefix_length)
+            else:
+                tmask = termmatch.regex_term_mask(fd.terms, str(q.pattern))
+            hit_vals = (tmask[fd.values] if len(fd.terms)
+                        else np.zeros(fd.values.shape, bool))
+            return self._vals_hit_to_doc_mask(hit_vals, fd, seg)
         if isinstance(q, Q.RangeQuery):
             return self._range_mask(q, seg)
         if isinstance(q, Q.BooleanQuery):

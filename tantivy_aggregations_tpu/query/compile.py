@@ -55,7 +55,11 @@ def extract_params(query: Q.Query, dindex, path=("q",)) -> Dict[str, np.int32]:
 
 def _term_w_params(col, ftype, value):
     """Exact w-domain equality targets for one user value: list of candidate
-    monos (the ±0 pair for f64 zero), each -> (present, w)."""
+    monos (the ±0 pair for f64 zero), each -> (present, w). A NaN f64 term
+    matches nothing (fields cannot store NaN; the oracle's IEEE == is
+    all-false for NaN — same spec as NaN range bounds, §A.10)."""
+    if ftype == FieldType.F64 and math.isnan(float(value)):
+        return [None, None]
     monos = [_mono(ftype, value)]
     if ftype == FieldType.F64 and float(value) == 0.0:
         monos = [_mono(ftype, 0.0), _mono(ftype, -0.0)]
@@ -70,8 +74,80 @@ def _term_w_params(col, ftype, value):
     return outs
 
 
+def match_runs(dindex, q) -> list:
+    """Matched-set compare runs of a set-type query (TermSet/Fuzzy/Regex)
+    against the GLOBAL term table / mono w-domain: inclusive (lo, hi) exact
+    python ints, sorted, lo >= 0, adjacent values merged. Cached on the
+    device index — msearch streams re-extract params per request, and the
+    fuzzy/regex predicates scan the whole term table."""
+    from ..utils import termmatch
+    if isinstance(q, Q.TermSetQuery):
+        key = ("tset", q.field, q.values)
+    elif isinstance(q, Q.FuzzyTermQuery):
+        key = ("fuzzy", q.field, q.term, q.distance, q.transpositions,
+               q.prefix_length)
+    else:
+        key = ("regex", q.field, q.pattern)
+    cache = dindex.set_query_runs
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    entry = dindex.schema.field(q.field)
+    col = dindex.column(q.field)
+    termmatch.check_set_query_field(entry.type, q)
+    if isinstance(q, Q.TermSetQuery):
+        if entry.type.is_stringy:
+            from ..schema import stringy_term
+            ws = {dindex.keyword_ord(q.field, stringy_term(entry.type, v))
+                  for v in q.values}
+            ws.discard(-1)
+        else:
+            ws = set()
+            for v in q.values:
+                for w in _term_w_params(col, entry.type, v):
+                    if w is not None:
+                        ws.add(w)
+        runs = termmatch.runs_from_sorted(sorted(ws))
+    else:
+        if isinstance(q, Q.FuzzyTermQuery):
+            tmask = termmatch.fuzzy_term_mask(
+                col.terms, str(q.term), q.distance, q.transpositions,
+                q.prefix_length)
+        else:
+            tmask = termmatch.regex_term_mask(col.terms, str(q.pattern))
+        runs = termmatch.runs_from_sorted(
+            np.flatnonzero(tmask).tolist())
+    cache[key] = runs
+    return runs
+
+
 def _extract(q, dindex, path, out) -> None:
     if isinstance(q, (Q.MatchAllQuery, Q.ExistsQuery)):
+        return
+    if isinstance(q, (Q.TermSetQuery, Q.FuzzyTermQuery, Q.RegexQuery)):
+        entry = dindex.schema.field(q.field)
+        col = dindex.column(q.field)
+        runs = match_runs(dindex, q)
+        S = Q.run_slots(q)
+        if len(runs) > S:
+            # plan-time acceptance (Program.accepts) keeps overflowing
+            # queries off compiled programs; this guards direct callers
+            raise NotImplementedError(
+                f"set query expands to {len(runs)} runs > {S} slots")
+        k = _key(path)
+        narrow = entry.type.is_stringy or col.narrow
+        for i in range(S):
+            lo, hi = runs[i] if i < len(runs) else (1, 0)  # empty run
+            if narrow:
+                out[f"{k}:s{i}l"] = np.int32(lo)
+                out[f"{k}:s{i}h"] = np.int32(hi)
+            else:
+                lh, ll = _wide_pair(lo)
+                hh, hl = _wide_pair(hi)
+                out[f"{k}:s{i}lh"], out[f"{k}:s{i}ll"] = (np.int32(lh),
+                                                          np.int32(ll))
+                out[f"{k}:s{i}hh"], out[f"{k}:s{i}hl"] = (np.int32(hh),
+                                                          np.int32(hl))
         return
     if isinstance(q, Q.TermQuery):
         entry = dindex.schema.field(q.field)
@@ -241,7 +317,8 @@ def query_fields(q: Q.Query, out=None) -> set:
     if out is None:
         out = set()
     if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery,
-                      Q.ExistsQuery, Q.PhraseQuery)):
+                      Q.ExistsQuery, Q.PhraseQuery, Q.TermSetQuery,
+                      Q.FuzzyTermQuery, Q.RegexQuery)):
         out.add(q.field)
     elif isinstance(q, Q.BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
@@ -314,12 +391,38 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
             hits &= shift(valid, n - 1, False)
             hits &= shift(doc, n - 1, -1) == doc
         return R.values_hit_to_doc_mask(hits, doc, T)
-    if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery)):
+    if isinstance(q, (Q.TermQuery, Q.RangeQuery, Q.PrefixQuery,
+                      Q.TermSetQuery, Q.FuzzyTermQuery, Q.RegexQuery)):
         # prefix queries carry the same :lo/:hi ordinal params as string
-        # ranges and share the range compare paths below
+        # ranges and share the range compare paths below; set-type queries
+        # (termset/fuzzy/regex) are a disjunction of run-slot range
+        # compares (run los are >= 0 and empty slots carry (1, 0), so -1
+        # plane fill can never match — no extra guard needed)
         col = dindex.column(q.field)
         k = _key(path)
         a = lambda s: arrays[prefix + f"{q.field}:{s}"]
+        is_set = isinstance(q, (Q.TermSetQuery, Q.FuzzyTermQuery,
+                                Q.RegexQuery))
+        S = Q.run_slots(q) if is_set else 0
+
+        def set_cmp32(pk):
+            m = (pk >= params[f"{k}:s0l"]) & (pk <= params[f"{k}:s0h"])
+            for i in range(1, S):
+                m |= (pk >= params[f"{k}:s{i}l"]) \
+                    & (pk <= params[f"{k}:s{i}h"])
+            return m
+
+        def set_cmp_wide(hi, lo):
+            m = None
+            for i in range(S):
+                ge = (hi > params[f"{k}:s{i}lh"]) | (
+                    (hi == params[f"{k}:s{i}lh"])
+                    & (lo >= params[f"{k}:s{i}ll"]))
+                le = (hi < params[f"{k}:s{i}hh"]) | (
+                    (hi == params[f"{k}:s{i}hh"])
+                    & (lo <= params[f"{k}:s{i}hl"]))
+                m = (ge & le) if m is None else (m | (ge & le))
+            return m
         if col.multi and col.has_multi_planes:
             # multi field with dense per-position planes: OR of doc-aligned
             # compares (works under permuted views too — planes permute like
@@ -329,6 +432,8 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
             # w-domain (>= 0) or the -2 missing-ordinal sentinel, and the
             # range compare carries an explicit >= 0 guard.
             def cmp32(pk):
+                if is_set:
+                    return set_cmp32(pk)
                 if isinstance(q, Q.TermQuery):
                     if col.ftype.is_stringy:
                         return pk == params[k + ":t"]
@@ -348,7 +453,12 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
                     cmp32(arrays[f"{q.field}:tw"]),
                     arrays[f"{q.field}:tdoc"], T)
             return m
-        if isinstance(q, Q.TermQuery) and col.ftype.is_stringy:
+        if is_set:
+            if col.ftype.is_stringy or col.narrow:
+                hits = set_cmp32(a("w"))
+            else:
+                hits = set_cmp_wide(a("hi"), a("lo"))
+        elif isinstance(q, Q.TermQuery) and col.ftype.is_stringy:
             hits = a("w") == params[k + ":t"]
         elif isinstance(q, Q.TermQuery):
             if col.narrow:

@@ -93,6 +93,82 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermSetQuery(Query):
+    """Matches docs holding ANY of `values` (tantivy `TermSetQuery` analog,
+    SURVEY.md §2.2 T7 era surface; spec §A.14). Semantics are exactly the
+    OR of per-value TermQuery matches — every per-type coercion rule
+    (stringy_term, numeric mono mapping, the f64 ±0 pair) is inherited.
+
+    Lowering: values map to the column's w/ordinal domain and collapse into
+    inclusive compare RUNS (adjacent integers merge), padded to a
+    power-of-two run-slot count derived from len(values) — the slot count
+    is the only structural component, so same-sized sets never recompile
+    and the runs ride the multi-plane and Pallas chain paths like ranges.
+    Sets whose runs exceed 64 slots answer on the exact host path."""
+
+    field: str
+    values: Tuple = ()
+
+    def __init__(self, field, values=()):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "values", tuple(values))
+
+
+@dataclass(frozen=True)
+class FuzzyTermQuery(Query):
+    """Matches docs holding at least one term within Damerau-Levenshtein
+    OSA edit `distance` of `term` (tantivy `FuzzyTermQuery` analog; spec
+    §A.14 — `transpositions` picks OSA vs plain Levenshtein, distance must
+    be 0..2, `prefix_length` chars must match verbatim). Keyword/text
+    fields; the match is against stored terms (post-tokenization for text).
+
+    Lowering: the predicate (utils/termmatch.py) runs over the global term
+    table host-side; matched ordinals collapse into compare runs (fixed 32
+    run slots — beyond that, the exact host path answers)."""
+
+    field: str
+    term: str
+    distance: int = 1
+    transpositions: bool = True
+    prefix_length: int = 0
+
+
+@dataclass(frozen=True)
+class RegexQuery(Query):
+    """Matches docs holding at least one term that FULLY matches `pattern`
+    (tantivy `RegexQuery` analog; spec §A.14 — Python `re` syntax, anchored
+    like the reference's fullmatch semantics). Keyword/text/facet fields.
+    Same run lowering as FuzzyTermQuery (fixed 64 run slots)."""
+
+    field: str
+    pattern: str
+
+
+#: device run-slot capacities (structural: part of the compare-program
+#: shape; expansions beyond them answer on the exact host path)
+FUZZY_RUN_SLOTS = 32
+REGEX_RUN_SLOTS = 64
+TERMSET_RUN_CAP = 64
+
+
+def run_slots(q: Query) -> int:
+    """Padded run-slot count for a set-type query — a pure function of the
+    query alone (never of the index), so structural keys stay
+    index-independent."""
+    if isinstance(q, TermSetQuery):
+        n = min(max(len(q.values), 1), TERMSET_RUN_CAP)
+        s = 1
+        while s < n:
+            s *= 2
+        return s
+    if isinstance(q, FuzzyTermQuery):
+        return FUZZY_RUN_SLOTS
+    if isinstance(q, RegexQuery):
+        return REGEX_RUN_SLOTS
+    raise TypeError(f"not a set-type query: {type(q)!r}")
+
+
+@dataclass(frozen=True)
 class ExistsQuery(Query):
     """Matches docs holding at least one value for `field`. Single-valued
     numeric fields always hold a value (missing -> type default, SURVEY.md
@@ -131,6 +207,12 @@ def structural_key(q: Query) -> tuple:
         return ("exists", q.field)
     if isinstance(q, PrefixQuery):
         return ("prefix", q.field)
+    if isinstance(q, TermSetQuery):
+        return ("tset", q.field, run_slots(q))
+    if isinstance(q, FuzzyTermQuery):
+        return ("fuzzy", q.field)
+    if isinstance(q, RegexQuery):
+        return ("regex", q.field)
     if isinstance(q, PhraseQuery):
         # token COUNT is structural (static shift/plane-window count);
         # the token ordinals themselves are traced params

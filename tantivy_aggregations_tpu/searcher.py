@@ -44,6 +44,7 @@ class Searcher:
         self._device_epoch = None
         self._programs = {}  # insertion-ordered; pruned LRU-style
         self._max_programs = 256
+        self._overflow_fb = None  # host path for set-query run overflow
 
     # -- device index ----------------------------------------------------------
 
@@ -77,6 +78,18 @@ class Searcher:
         else:
             self._programs.pop(key)  # refresh LRU position
             self._programs[key] = prog
+        if (not isinstance(prog, _HostFallback)
+                and not prog.accepts(query, aggs)):
+            # same shape, but THIS request's set-query expansion exceeds
+            # the compiled run slots: answer it on the exact host path
+            # without evicting the program (fitting requests keep using it)
+            from .utils.stats import log
+            log.warning("set query expansion exceeds the program's run "
+                        "slots; running the exact host path")
+            if self._overflow_fb is None:
+                self._overflow_fb = _HostFallback(
+                    self.index.oracle_searcher(), "set-query run overflow")
+            return self._overflow_fb
         return prog
 
     def agg_search(self, query: query_ir.Query,

@@ -89,6 +89,11 @@ CASES = [
     (tat.RangeQuery("qty", lower=30, upper=800),),
     (tat.TermQuery("tags", "t3"),),          # multi-valued chain field
     (tat.RangeQuery("qty", lower=10**7),),   # empty result
+    # set-type chain queries (§A.14): run-slot compares INSIDE the kernel
+    (tat.TermSetQuery("tags", ["t1", "t4", "t7"]),),
+    (tat.TermSetQuery("qty", [5, 6, 7, 300, 301, 999]),),
+    (tat.FuzzyTermQuery("cat", "cat0010", 1),),
+    (tat.RegexQuery("cat", "cat00[0-3]."),),
 ]
 
 

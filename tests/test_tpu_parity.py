@@ -267,3 +267,33 @@ def test_phrase_query_on_device(idx):
             PhraseQuery("body", text), {"n": count_agg(),
                                         "s": sum_agg("q")})
         assert got == want
+
+
+def test_set_queries_on_device(idx):
+    """TermSet/Fuzzy/Regex run-slot lowering on the live backend (§A.14):
+    flat masks across field types, and a set query as the CHAIN of a
+    prefix-mode terms agg — on the chip that evaluates the run compares
+    INSIDE the chain_blocks Mosaic kernel."""
+    import jax
+    from tantivy_aggregations_tpu import (FuzzyTermQuery, RegexQuery,
+                                          TermSetQuery)
+    for q in [
+        TermSetQuery("status", ["a", "c"]),
+        TermSetQuery("amount", [5, 6, 7, 9000]),
+        TermSetQuery("counts", [7, 8, 42]),        # multi-valued CSR field
+        FuzzyTermQuery("status", "b", 1),
+        FuzzyTermQuery("tags", "t33", 1),
+        RegexQuery("sku", "sku000[0-5]\\d"),
+    ]:
+        run(idx, q, {"n": count_agg(), "s": sum_agg("amount")})
+    # set query in a prefix-terms chain -> run compares inside the kernel
+    s = idx.searcher()
+    aggs = {"t": terms_agg("sku", size=8, sub_aggs={"s": sum_agg("amount")})}
+    q = RegexQuery("status", "[ab]")
+    prog = s._program_for(q, aggs)
+    assert prog.plan[("a", "t")]["mode"] == "prefix"
+    if jax.default_backend() == "tpu":
+        assert prog.plan[("a", "t")].get("pallas_prefix"), \
+            f"set-query chain fell off the kernel path: " \
+            f"{prog.plan[('a', 't')]}"
+    run(idx, q, aggs)
