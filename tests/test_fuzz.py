@@ -77,7 +77,28 @@ def _rand_bucket(rng, depth):
 
 
 def _rand_query(rng):
-    k = rng.integers(0, 8)
+    k = rng.integers(0, 11)
+    if k == 8:  # set-type queries (§A.14)
+        nf = ALL_FIELDS[rng.integers(0, len(ALL_FIELDS))]
+        if nf in KW_FIELDS:
+            vals = [f"cat{int(v):04d}" if nf == "cat" else f"t{int(v) % 14}"
+                    for v in rng.integers(0, 70, rng.integers(0, 5))]
+        else:
+            vals = [int(v) for v in rng.integers(-50, 900,
+                                                 rng.integers(0, 5))]
+        return tat.TermSetQuery(nf, vals)
+    if k == 9:
+        base = (f"cat{int(rng.integers(0, 60)):04d}"
+                if rng.random() < 0.7 else f"t{int(rng.integers(0, 12))}")
+        return tat.FuzzyTermQuery(
+            KW_FIELDS[rng.integers(0, 2)], base,
+            distance=int(rng.integers(0, 3)),
+            transpositions=bool(rng.integers(0, 2)),
+            prefix_length=int(rng.integers(0, 3)))
+    if k == 10:
+        pat = str(rng.choice(["cat00[0-5].", "cat0.*", "t[0-4]", ".*1.*",
+                              "cat0{2}4.", "zzz.*"]))
+        return tat.RegexQuery(KW_FIELDS[rng.integers(0, 2)], pat)
     if k == 6:
         return tat.ExistsQuery(ALL_FIELDS[rng.integers(0, len(ALL_FIELDS))])
     if k == 7:
