@@ -463,8 +463,18 @@ class Program:
             if col.has_multi_planes:
                 for kk, pk in enumerate(col.multi_planes):
                     self._need(f"{col.name}:mp{kk}", pk)
+            if col.has_multi_planes_wide:
+                for kk, (ph, pl) in enumerate(col.multi_planes_wide):
+                    self._need(f"{col.name}:mph{kk}", ph)
+                    self._need(f"{col.name}:mpl{kk}", pl)
+                self._need(f"{col.name}:mpn", col.mpn)
             if col.has_tail:
-                self._need(f"{col.name}:tw", col.tail_w)
+                if col.has_multi_planes_wide:
+                    self._need(f"{col.name}:th", col.tail_hi)
+                    self._need(f"{col.name}:tl", col.tail_lo)
+                    self._need(f"{col.name}:tvalid", col.tail_valid)
+                else:
+                    self._need(f"{col.name}:tw", col.tail_w)
                 self._need(f"{col.name}:tdoc", col.tail_doc)
 
     def _collect_query_arrays(self, q):
@@ -489,7 +499,9 @@ class Program:
         overflow tail). This is what gates the prefix/rank fast paths."""
         for f in self._chain_fields(chain):
             col = self._col(f)
-            if col.multi and (not col.has_multi_planes or col.has_tail):
+            if col.multi and (not (col.has_multi_planes
+                                   or col.has_multi_planes_wide)
+                              or col.has_tail):
                 return False
         return True
 
@@ -507,7 +519,11 @@ class Program:
         keys = []
         for f in sorted(self._chain_fields(chain)):
             col = self._col(f)
-            if col.multi:
+            if col.multi and col.has_multi_planes_wide:
+                for kk in range(len(col.multi_planes_wide_host)):
+                    keys += [f"{f}:mph{kk}", f"{f}:mpl{kk}"]
+                keys.append(f"{f}:mpn")
+            elif col.multi:
                 keys += [f"{f}:mp{kk}"
                          for kk in range(len(col.multi_planes_host))]
             elif col.narrow or col.ftype.is_stringy:
@@ -515,6 +531,20 @@ class Program:
             else:
                 keys += [f"{f}:hi", f"{f}:lo"]
         return keys
+
+    def _chain_plane_host(self, key):
+        """Host plane backing one _chain_plane_keys entry (unpermuted)."""
+        f, kind = key.rsplit(":", 1)
+        col = self._col(f)
+        if kind == "mpn":
+            return col._mpn_host
+        if kind.startswith("mph"):
+            return col.multi_planes_wide_host[int(kind[3:])][0]
+        if kind.startswith("mpl"):
+            return col.multi_planes_wide_host[int(kind[3:])][1]
+        if kind.startswith("mp"):
+            return col.multi_planes_host[int(kind[2:])]
+        return self._host_planes(col)[1 if kind == "lo" else 0]
 
     # -- permuted views ------------------------------------------------------
 
@@ -555,11 +585,20 @@ class Program:
         for f in self._chain_fields(chain):
             colf = self._col(f)
             if colf.multi:
-                if not colf.has_multi_planes or colf.has_tail:
+                if not (colf.has_multi_planes
+                        or colf.has_multi_planes_wide) or colf.has_tail:
                     raise NotImplementedError(
                         "CSR query field in permuted view")
                 # dense per-position planes are doc-aligned: they permute
                 # into the layout like any single-valued column
+                if colf.has_multi_planes_wide:
+                    for kk, (hh, ll) in enumerate(
+                            colf.multi_planes_wide_host):
+                        cache(f"{f}:mph{kk}", lambda hh=hh: hh[perm])
+                        cache(f"{f}:mpl{kk}", lambda ll=ll: ll[perm])
+                    mpn = colf._mpn_host
+                    cache(f"{f}:mpn", lambda mpn=mpn: mpn[perm])
+                    continue
                 for kk, ph in enumerate(colf.multi_planes_host):
                     cache(f"{f}:mp{kk}", lambda ph=ph: ph[perm])
                 continue
@@ -614,15 +653,9 @@ class Program:
 
         cache("T#avalid", avalid)
         for key in self._chain_plane_keys(chain):
-            f, kind = key.rsplit(":", 1)
-            colf = self._col(f)
-            if kind.startswith("mp"):
-                ph = colf.multi_planes_host[int(kind[2:])]
-                build = (lambda ph=ph: PK.transpose_groups(ph[perm]))
-            else:
-                hp = self._host_planes(colf)[1 if kind == "lo" else 0]
-                build = (lambda hp=hp: PK.transpose_groups(hp[perm]))
-            cache(f"T#{key}", build)
+            ph = self._chain_plane_host(key)
+            cache(f"T#{key}",
+                  lambda ph=ph: PK.transpose_groups(ph[perm]))
 
     def _plan_prefix_pallas(self, node, p, layout, prefix, chain):
         """Gate + registration for the fused chain_blocks Pallas path over
@@ -668,15 +701,9 @@ class Program:
 
         cache("T32#avalid", avalid)
         for key in self._chain_plane_keys(chain):
-            f, kind = key.rsplit(":", 1)
-            colf = self._col(f)
-            if kind.startswith("mp"):
-                ph = colf.multi_planes_host[int(kind[2:])]
-                build = (lambda ph=ph: PK.transpose_groups(ph[perm], 32))
-            else:
-                hp = self._host_planes(colf)[1 if kind == "lo" else 0]
-                build = (lambda hp=hp: PK.transpose_groups(hp[perm], 32))
-            cache(f"T32#{key}", build)
+            ph = self._chain_plane_host(key)
+            cache(f"T32#{key}",
+                  lambda ph=ph: PK.transpose_groups(ph[perm], 32))
         pay_plan = {}
         for g in payload_fields:
             if g in pay_plan:

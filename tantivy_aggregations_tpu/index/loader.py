@@ -244,10 +244,18 @@ class DeviceColumn:
     #: [T] int32 w-planes (-1 = no value at that position), positions
     #: 0..DENSE_MULTI_K-1 of each doc
     multi_planes_host: Optional[list] = None
+    #: dense doc-aligned planes for multi-valued WIDE fields: per value
+    #: position k a (hi, lo) int32 pair (same lexicographic rm-domain split
+    #: as single wide columns) + one shared value-count plane `mpn` (the
+    #: validity guard — wide pairs have no free sentinel value)
+    multi_planes_wide_host: Optional[list] = None
+    _mpn_host: Optional[np.ndarray] = None
     #: overflow tail for docs with more than DENSE_MULTI_K values: the
     #: remaining value rows as a (small) CSR triple — term/range doc masks
     #: are plane compares plus a scatter-or over just these rows
     _tail_w_host: Optional[np.ndarray] = None
+    _tail_hi_host: Optional[np.ndarray] = None
+    _tail_lo_host: Optional[np.ndarray] = None
     _tail_doc_host: Optional[np.ndarray] = None
     _tail_valid8_host: Optional[np.ndarray] = None
     #: lazily shipped device arrays, keyed by plane name
@@ -303,8 +311,24 @@ class DeviceColumn:
                 for k, p in enumerate(self.multi_planes_host)]
 
     @property
+    def has_multi_planes_wide(self) -> bool:
+        return self.multi_planes_wide_host is not None
+
+    @property
+    def multi_planes_wide(self):
+        if self.multi_planes_wide_host is None:
+            return None
+        return [(self._ship(f"mph{k}", h), self._ship(f"mpl{k}", l))
+                for k, (h, l) in enumerate(self.multi_planes_wide_host)]
+
+    @property
+    def mpn(self):
+        return self._ship("mpn", self._mpn_host)
+
+    @property
     def has_tail(self) -> bool:
-        return self._tail_w_host is not None
+        return (self._tail_w_host is not None
+                or self._tail_hi_host is not None)
 
     @property
     def has_value_rows(self) -> bool:
@@ -317,6 +341,14 @@ class DeviceColumn:
     @property
     def tail_w(self):
         return self._ship("tw", self._tail_w_host)
+
+    @property
+    def tail_hi(self):
+        return self._ship("th", self._tail_hi_host)
+
+    @property
+    def tail_lo(self):
+        return self._ship("tl", self._tail_lo_host)
 
     @property
     def tail_doc(self):
@@ -919,6 +951,42 @@ def _load_csr(entry, segments, T, D, mesh, keyword: bool) -> DeviceColumn:
             tw, tdoc, tvalid = _shard_partition_csr(
                 t_w, t_docs, T, D, fill=np.int32(-1))
             col._tail_w_host = tw
+            col._tail_doc_host = tdoc
+            col._tail_valid8_host = tvalid.astype(np.int8)
+    else:
+        # doc-aligned dense planes for WIDE multi fields: per position a
+        # lexicographic (hi, lo) int32 pair (same rm-domain split as the
+        # single-valued wide planes, so the SAME wide query params compare
+        # against them) + a shared value-count plane as the validity guard
+        # (any (hi, lo) pair is an attainable value — no -1 sentinel). Same
+        # overflow-tail contract as the narrow planes above.
+        cnt = np.bincount(docs, minlength=T) if n else np.zeros(T, np.int64)
+        kmax = int(cnt.max()) if n else 0
+        wv_u64 = _w_u64(m, min_mono)
+        offs_g = np.zeros(T + 1, np.int64)
+        np.cumsum(cnt, out=offs_g[1:])
+        planes_wide = []
+        for k in range(max(min(kmax, DENSE_MULTI_K), 1)):
+            hp = np.zeros(T, I32)
+            lp = np.zeros(T, I32)
+            has = cnt > k
+            hk, lk = _split_wide(wv_u64[offs_g[:-1][has] + k])
+            hp[has] = hk
+            lp[has] = lk
+            planes_wide.append((hp, lp))
+        col.multi_planes_wide_host = planes_wide
+        col._mpn_host = np.minimum(cnt, 2**31 - 1).astype(I32)
+        if kmax > DENSE_MULTI_K:
+            pos_in_doc = np.arange(n, dtype=np.int64) - offs_g[:-1][docs]
+            sel = pos_in_doc >= DENSE_MULTI_K
+            t_docs = docs[sel]
+            # partition INDICES once so both planes share the row order
+            tidx, tdoc, tvalid = _shard_partition_csr(
+                np.flatnonzero(sel), t_docs, T, D, fill=np.int64(0))
+            th, tl = _split_wide(np.where(tvalid, wv_u64[tidx],
+                                          np.uint64(0)))
+            col._tail_hi_host = th
+            col._tail_lo_host = tl
             col._tail_doc_host = tdoc
             col._tail_valid8_host = tvalid.astype(np.int8)
     return col

@@ -338,6 +338,8 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
             if col.has_multi_planes:
                 # position-0 plane: any value => a first value exists
                 return arrays[prefix + f"{q.field}:mp0"] >= 0
+            if col.has_multi_planes_wide:
+                return arrays[prefix + f"{q.field}:mpn"] > 0
             if prefix:
                 raise NotImplementedError(
                     "CSR query field under a permuted view")
@@ -451,6 +453,44 @@ def eval_mask(q, dindex, params, path, T, arrays, prefix="") -> jnp.ndarray:
                 # plan guards keep tailed fields out of permuted views
                 m |= R.values_hit_to_doc_mask(
                     cmp32(arrays[f"{q.field}:tw"]),
+                    arrays[f"{q.field}:tdoc"], T)
+            return m
+        if col.multi and col.has_multi_planes_wide:
+            # WIDE multi field with dense per-position (hi, lo) plane
+            # pairs: OR of doc-aligned lexicographic compares. Validity
+            # comes from the shared value-count plane (every (hi, lo) pair
+            # is an attainable value, so zero-filled positions would
+            # otherwise be range-matchable). Permutes like the narrow
+            # planes; overflow rows ride the same small scatter-or tail.
+            def cmpw(hik, lok):
+                if is_set:
+                    return set_cmp_wide(hik, lok)
+                if isinstance(q, Q.TermQuery):
+                    return (((hik == params[k + ":th0"])
+                             & (lok == params[k + ":tl0"])
+                             & (params[k + ":tv0"] > 0))
+                            | ((hik == params[k + ":th1"])
+                               & (lok == params[k + ":tl1"])
+                               & (params[k + ":tv1"] > 0)))
+                ge = (hik > params[k + ":loh"]) | (
+                    (hik == params[k + ":loh"])
+                    & (lok >= params[k + ":lol"]))
+                le = (hik < params[k + ":hih"]) | (
+                    (hik == params[k + ":hih"])
+                    & (lok <= params[k + ":hil"]))
+                return ge & le
+
+            mpn = arrays[prefix + f"{q.field}:mpn"]
+            m = jnp.zeros(T, dtype=bool)
+            for kk in range(len(col.multi_planes_wide_host)):
+                m |= (cmpw(arrays[prefix + f"{q.field}:mph{kk}"],
+                           arrays[prefix + f"{q.field}:mpl{kk}"])
+                      & (mpn > kk))
+            if col.has_tail:
+                # plan guards keep tailed fields out of permuted views
+                m |= R.values_hit_to_doc_mask(
+                    cmpw(arrays[f"{q.field}:th"], arrays[f"{q.field}:tl"])
+                    & (arrays[f"{q.field}:tvalid"] > 0),
                     arrays[f"{q.field}:tdoc"], T)
             return m
         if is_set:
