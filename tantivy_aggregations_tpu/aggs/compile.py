@@ -421,7 +421,7 @@ class Program:
         return self.harvest_host(host, aggs)
 
     def harvest_host(self, host, aggs):
-        return {name: self._harvest(agg, host[name], ("a", name), ())
+        return {name: self._harvest(agg, host[name], ("a", name), None)
                 for name, agg in aggs.items()}
 
     # ======================================================================
@@ -1626,11 +1626,13 @@ class Program:
             return R.dense_bucket_counts(ctx.bid, ctx.valid, ctx.nslots)
         return R.slot_count(ctx.bid, ctx.valid, ctx.nslots)
 
-    def _slot_sum_plane(self, ctx: SlotCtx, plane):
+    def _slot_sum_plane(self, ctx: SlotCtx, plane, bound=None):
+        """`bound`: optional STATIC (lo, hi) on the plane's values at valid
+        rows — shrinks the MXU piece decomposition (see reductions.py)."""
         if ctx.mode == "dense":
             if ctx.bid_static and self.config.dense_mxu:
                 return R.dense_bucket_sum_mxu(ctx.bid, ctx.valid, plane,
-                                              ctx.nslots)
+                                              ctx.nslots, bound=bound)
             return R.dense_bucket_sum(ctx.bid, ctx.valid, plane, ctx.nslots)
         return R.slot_sum(plane, ctx.bid, ctx.valid, ctx.nslots)
 
@@ -1662,8 +1664,10 @@ class Program:
                     if need_sum else [])
                 if self.config.dense_mxu:
                     # cnt + every limb plane in ONE chunked MXU pass
-                    sums = R.masked_sum_planes_mxu(ctx.mask,
-                                                   [cnt_doc] + sum_cols)
+                    pb = col.preagg_bounds(self.dindex.T)
+                    sums = R.masked_sum_planes_mxu(
+                        ctx.mask, [cnt_doc] + sum_cols,
+                        bounds=[pb["cnt"]] + (pb["sum"] if need_sum else []))
                     out["cnt"] = self._madd(sums[0])
                     if need_sum:
                         out["sum"] = self._madd(sums[1:])
@@ -1704,7 +1708,8 @@ class Program:
                         with jax.enable_x64(True):
                             out["sum"] = R.masked_sum_planes_mxu(
                                 vmask, [limbs[:, i]
-                                        for i in range(limbs.shape[1])])
+                                        for i in range(limbs.shape[1])],
+                                bounds=col.limb_bounds())
                 return out
             out["cnt"] = self._madd(R.ts_count(vmask))
             if need_min:
@@ -1725,7 +1730,8 @@ class Program:
                     limbs = arrays[f"{field}:limbs"]
                     out["sum"] = self._madd(R.masked_sum_planes_mxu(
                         vmask, [limbs[:, i]
-                                for i in range(limbs.shape[1])]))
+                                for i in range(limbs.shape[1])],
+                        bounds=col.limb_bounds()))
                 else:
                     limbs = arrays[f"{field}:limbs"]
                     out["sum"] = self._madd(jnp.stack(
@@ -1736,9 +1742,11 @@ class Program:
         # SlotCtx
         if col.multi:
             pre = f"{field}:pre:"
+            pb = col.preagg_bounds(self.dindex.T)
             cnt_doc = arrays[pre + "cnt"]
             cnt_rows = cnt_doc if ctx.rows_are_docs else cnt_doc[ctx.doc]
-            out["cnt"] = self._madd(self._slot_sum_plane(ctx, cnt_rows))
+            out["cnt"] = self._madd(
+                self._slot_sum_plane(ctx, cnt_rows, bound=pb["cnt"]))
             if need_min or need_max:
                 mm_valid = ctx.valid & (cnt_rows > 0)
                 mctx = SlotCtx(ctx.bid, mm_valid, ctx.dims,
@@ -1753,7 +1761,8 @@ class Program:
                 planes = arrays[pre + "sum"]
                 rows = planes if ctx.rows_are_docs else planes[ctx.doc]
                 out["sum"] = self._madd(jnp.stack(
-                    [self._slot_sum_plane(ctx, rows[:, i])
+                    [self._slot_sum_plane(ctx, rows[:, i],
+                                          bound=pb["sum"][i])
                      for i in range(planes.shape[1])], axis=-1))
             return out
 
@@ -1771,12 +1780,14 @@ class Program:
                 out["max"] = self._mmax(self._slot_max(ctx, v))
         if need_sum:
             if p["direct"]:
-                out["sum"] = self._madd(self._slot_sum_plane(ctx, get("w")))
+                out["sum"] = self._madd(self._slot_sum_plane(
+                    ctx, get("w"), bound=(0, int(col.span))))
             else:
                 limbs = arrays[f"{field}:limbs"]
+                lb = col.limb_bounds()
                 rows = limbs if ctx.rows_are_docs else limbs[ctx.doc]
                 out["sum"] = self._madd(jnp.stack(
-                    [self._slot_sum_plane(ctx, rows[:, i])
+                    [self._slot_sum_plane(ctx, rows[:, i], bound=lb[i])
                      for i in range(limbs.shape[1])], axis=-1))
         return out
 
@@ -2760,35 +2771,45 @@ class Program:
     # harvest
     # ======================================================================
 
-    def _flat(self, raw, path, prefix, key):
+    @staticmethod
+    def _flat(raw, flat, key):
+        """Fruit scalar for this node at flattened bucket-prefix index
+        `flat` (None = root scope, raw entries are unbucketed scalars).
+        The flat index is threaded down the recursion as a plain int
+        (child = parent * child_axis + j) instead of re-raveling prefix
+        tuples per bucket — np.ravel_multi_index boxing was ~60% of the
+        measured host harvest cost on bucketed trees (74ms/128-query
+        batch on bench c3)."""
         a = raw[key]
-        hdims = self.plan[path]["hdims"]
-        if not prefix:
+        if flat is None:
             return a
-        return a[int(np.ravel_multi_index(prefix, hdims))]
+        return a[flat]
 
-    def _harvest(self, node, raw, path, prefix):
+    def _harvest(self, node, raw, path, flat):
+        """`flat`: flattened index of the enclosing bucket prefix under
+        this node's hdims chain (row-major, matching the device fruit
+        layout), or None at root."""
         if isinstance(node, A.CountAgg):
-            return {"value": int(self._flat(raw, path, prefix, "cnt"))}
+            return {"value": int(self._flat(raw, flat, "cnt"))}
         if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg,
                              A.StatsAgg)):
-            return self._harvest_metric(node, raw, path, prefix)
+            return self._harvest_metric(node, raw, path, flat)
         if isinstance(node, A.PercentilesAgg):
-            return self._harvest_percentiles(node, raw, path, prefix)
+            return self._harvest_percentiles(node, raw, path, flat)
         if isinstance(node, A.HistogramAgg):
-            return self._harvest_histogram(node, raw, path, prefix)
+            return self._harvest_histogram(node, raw, path, flat)
         if isinstance(node, A.FacetAgg):
-            return self._harvest_facet(node, raw, path, prefix)
+            return self._harvest_facet(node, raw, path, flat)
         if isinstance(node, A.TermsAgg):
-            return self._harvest_terms(node, raw, path, prefix)
+            return self._harvest_terms(node, raw, path, flat)
         if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
-            out = {"doc_count": int(self._flat(raw, path, prefix, "cnt"))}
+            out = {"doc_count": int(self._flat(raw, flat, "cnt"))}
             for name, sub in node.sub_aggs:
                 out[name] = self._harvest(sub, raw[name], path + (name,),
-                                          prefix)
+                                          flat)
             return out
         if isinstance(node, A.TopHitsAgg):
-            return self._harvest_top_hits(node, raw, path, prefix)
+            return self._harvest_top_hits(node, raw, path, flat)
         raise TypeError(f"unknown agg {type(node)!r}")
 
     def _mono_from_mm(self, p, raw_val) -> int:
@@ -2812,27 +2833,46 @@ class Program:
         return exact.int_reconstruct_sum(np.asarray(sum_out)) \
             + cnt * int(p["min_user"])
 
-    def _harvest_metric(self, node, raw, path, prefix):
+    def _sum_at(self, p, raw, flat, cnt: int):
+        """_reconstruct_sum for a bucketed node, with a vectorized fast
+        path: integer limb accumulators recombine for ALL buckets in one
+        int64 numpy pass (cached on the raw dict) when the per-limb
+        magnitude bound proves the int64 math cannot overflow; per-bucket
+        Python big-int exactness otherwise. Same result by construction —
+        the fast path only runs when its values equal the big-int ones."""
+        if flat is None or p["ftype"] == FieldType.F64:
+            return self._reconstruct_sum(p, self._flat(raw, flat, "sum"),
+                                         cnt)
+        a = np.asarray(raw["sum"])
+        if a.ndim < 2:  # direct mode: one int32-ranged scalar per bucket
+            return int(a[flat]) + cnt * int(p["min_user"])
+        tot = raw.get("_sumtot", None)
+        if tot is None:
+            tot = _limb_totals_vec(a)
+            raw["_sumtot"] = False if tot is None else tot
+        if tot is not False:
+            return int(tot[flat]) + cnt * int(p["min_user"])
+        return exact.int_reconstruct_sum(a[flat]) + cnt * int(p["min_user"])
+
+    def _harvest_metric(self, node, raw, path, flat):
         p = self.plan[path]
         ftype = p["ftype"]
-        cnt = int(self._flat(raw, path, prefix, "cnt"))
+        cnt = int(self._flat(raw, flat, "cnt"))
 
         def mmval(key):
             if cnt == 0:
                 return None
             return self._user_scalar(
                 ftype,
-                self._mono_from_mm(p, self._flat(raw, path, prefix, key)))
+                self._mono_from_mm(p, self._flat(raw, flat, key)))
 
         if isinstance(node, A.SumAgg):
-            return {"value": self._reconstruct_sum(
-                p, self._flat(raw, path, prefix, "sum"), cnt)}
+            return {"value": self._sum_at(p, raw, flat, cnt)}
         if isinstance(node, A.MinAgg):
             return {"value": mmval("min")}
         if isinstance(node, A.MaxAgg):
             return {"value": mmval("max")}
-        s = self._reconstruct_sum(p, self._flat(raw, path, prefix, "sum"),
-                                  cnt)
+        s = self._sum_at(p, raw, flat, cnt)
         avg = None if cnt == 0 else (
             s / cnt if ftype == FieldType.F64 else float(Fraction(s) / cnt))
         if isinstance(node, A.AvgAgg):
@@ -2840,12 +2880,11 @@ class Program:
         return {"count": cnt, "sum": s, "min": mmval("min"),
                 "max": mmval("max"), "avg": avg}
 
-    def _harvest_percentiles(self, node, raw, path, prefix=()):
+    def _harvest_percentiles(self, node, raw, path, flat=None):
         p = self.plan[path]
         ftype = p["ftype"]
         if p.get("pmode") == "slot_rank":
-            hdims = p["hdims"]
-            flat = int(np.ravel_multi_index(prefix, hdims)) if prefix else 0
+            flat = 0 if flat is None else flat
             m = int(np.asarray(raw["m"]).reshape(-1)[flat])
             if m == 0:
                 return {"values": {str(q): None for q in node.percents}}
@@ -2926,17 +2965,14 @@ class Program:
                                             fracs[i])
         return {"values": out}
 
-    def _harvest_histogram(self, node, raw, path, prefix):
+    def _harvest_histogram(self, node, raw, path, flat):
         p = self.plan[path]
         nb, k_min, ftype = p["nb"], p["k_min"], p["ftype"]
-        counts = np.asarray(raw["counts"])
-        hdims = p["hdims"]
+        base = (0 if flat is None else flat) * nb
+        row = np.asarray(raw["counts"]).reshape(-1)[base:base + nb]
         buckets = []
-        for j in range(nb):
-            flat = int(np.ravel_multi_index(prefix + (j,), hdims + (nb,)))
-            c = int(counts[flat])
-            if c == 0:
-                continue
+        for j in np.nonzero(row)[0].tolist():
+            c = int(row[j])
             k = k_min + j
             if "keys" in p:  # calendar: keys ARE the period-start micros
                 key = int(p["keys"][k])
@@ -2948,7 +2984,7 @@ class Program:
             b = {"key": key, "doc_count": c}
             for name, sub in node.sub_aggs:
                 b[name] = self._harvest(sub, raw[name], path + (name,),
-                                        prefix + (j,))
+                                        base + j)
             buckets.append(b)
         return {"buckets": buckets}
 
@@ -2959,22 +2995,21 @@ class Program:
             return str(p["keys"][tid])
         return self._user_scalar(p["ftype"], int(p["keys_mono"][tid]))
 
-    def _harvest_terms_hostsel(self, node, raw, path, prefix):
+    def _harvest_terms_hostsel(self, node, raw, path, flat):
         """Host-side exact selection for `order` modes the device cannot
         prove exact (avg, f64 sums, limb-plane sums): compares HARVESTED
         user values — the identical comparator to the oracle — with key-asc
         ties via the key-ascending bucket id order."""
         p = self.plan[path]
         card = p["card"]
-        hdims = p["hdims"]
-        base = int(np.ravel_multi_index(prefix, hdims)) if prefix else 0
+        base = 0 if flat is None else flat
         cvec = np.asarray(raw["counts"]).reshape(-1, card)[base]
         present = np.nonzero(cvec > 0)[0].tolist()
         target, direction = p["order"]
         desc = direction == "desc"
         sub = dict(node.sub_aggs)[target]
         vals = {j: self._harvest(sub, raw[target], path + (target,),
-                                 prefix + (j,))["value"]
+                                 base * card + j)["value"]
                 for j in present}
         ids = [j for j in present if vals[j] is not None]
         nones = [j for j in present if vals[j] is None]
@@ -2989,17 +3024,17 @@ class Program:
             b = {"key": self._term_key_user(p, j), "doc_count": c}
             for name, s in node.sub_aggs:
                 b[name] = self._harvest(s, raw[name], path + (name,),
-                                        prefix + (j,))
+                                        base * card + j)
             buckets.append(b)
         return {"buckets": buckets,
                 "sum_other_doc_count": int(cvec.sum()) - shown}
 
-    def _harvest_facet(self, node, raw, path, prefix):
+    def _harvest_facet(self, node, raw, path, flat):
         """Facet harvest (§A.12): slice the full per-ordinal count vector
         to the static child ordinals, order (count desc, path asc)."""
         p = self.plan[path]
-        card, hdims = p["card"], p["hdims"]
-        base = int(np.ravel_multi_index(prefix, hdims)) if prefix else 0
+        card = p["card"]
+        base = 0 if flat is None else flat
         cvec = np.asarray(raw["counts"]).reshape(-1, card)[base]
         rows = [(str(p["keys"][j]), int(cvec[j]))
                 for j in p["facet_children"] if cvec[j] > 0]
@@ -3007,39 +3042,34 @@ class Program:
         return {"buckets": [{"key": k, "doc_count": c}
                             for k, c in rows[: node.size]]}
 
-    def _harvest_terms(self, node, raw, path, prefix):
+    def _harvest_terms(self, node, raw, path, flat):
         p = self.plan[path]
         if p["sel"] == "host":
-            return self._harvest_terms_hostsel(node, raw, path, prefix)
-        keff, ftype = p["keff"], p["ftype"]
-        counts = np.asarray(raw["counts"])
-        ids = np.asarray(raw["ids"])
-        total = np.asarray(raw["total"])
-        hdims = p["hdims"]
-        total_here = int(total[int(np.ravel_multi_index(prefix, hdims))]
-                         if prefix else total.reshape(-1)[0])
+            return self._harvest_terms_hostsel(node, raw, path, flat)
+        keff = p["keff"]
+        base = (0 if flat is None else flat) * keff
+        crow = np.asarray(raw["counts"]).reshape(-1)[base:base + keff]
+        ids = np.asarray(raw["ids"]).reshape(-1)
+        total = np.asarray(raw["total"]).reshape(-1)
+        total_here = int(total[0 if flat is None else flat])
         shown = 0
         buckets = []
-        for i in range(keff):
-            flat = int(np.ravel_multi_index(prefix + (i,), hdims + (keff,)))
-            c = int(counts[flat])
-            if c == 0:
-                continue
-            tid = int(ids[flat])
+        for i in np.nonzero(crow)[0].tolist():
+            c = int(crow[i])
+            tid = int(ids[base + i])
             key = self._term_key_user(p, tid)
             shown += c
             b = {"key": key, "doc_count": c}
             for name, sub in node.sub_aggs:
                 b[name] = self._harvest(sub, raw[name], path + (name,),
-                                        prefix + (i,))
+                                        base + i)
             buckets.append(b)
         return {"buckets": buckets, "sum_other_doc_count": total_here - shown}
 
-    def _harvest_top_hits(self, node, raw, path, prefix=()):
+    def _harvest_top_hits(self, node, raw, path, flat=None):
         p = self.plan[path]
         if p.get("in_slot"):
-            hdims = p["hdims"]
-            flat = int(np.ravel_multi_index(prefix, hdims)) if prefix else 0
+            flat = 0 if flat is None else flat
             keys_a = np.asarray(raw["keys"])
             kcap = keys_a.shape[-1]
             m = int(np.asarray(raw["m"]).reshape(-1)[flat])
@@ -3064,6 +3094,25 @@ class Program:
                 hit["value"] = self._user_scalar(p["ftype"], mono)
             hits.append(hit)
         return {"hits": hits}
+
+
+def _limb_totals_vec(a: np.ndarray):
+    """[H, L] int64 limb accumulators -> [H] exact totals as int64, or
+    None when the magnitude bound cannot prove the recombination
+    int64-overflow-free (caller falls back to per-bucket Python big
+    ints). Proof: |sum_i a[h,i] << LIMB_BITS*i| and every prefix partial
+    are <= sum_i max_h|a[h,i]| << LIMB_BITS*i = bound < 2^62."""
+    if a.ndim != 2 or a.size == 0:
+        return None
+    mx = np.abs(a).max(axis=0)
+    bound = sum(int(m) << (exact.LIMB_BITS * i)
+                for i, m in enumerate(mx.tolist()))
+    if bound >= 2 ** 62:
+        return None
+    tot = a[:, 0].astype(np.int64, copy=True)
+    for i in range(1, a.shape[1]):
+        tot += a[:, i].astype(np.int64) << np.int64(exact.LIMB_BITS * i)
+    return tot
 
 
 @jax.jit

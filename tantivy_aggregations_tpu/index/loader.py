@@ -387,6 +387,19 @@ class DeviceColumn:
         wu = _w_u64(self._host_mono, self.min_mono)
         return exact.int_limb_planes(wu.view(np.int64), self.sum_n_limbs)
 
+    def limb_bounds(self) -> list:
+        """Per-plane STATIC (lo, hi) value bounds of the sum_limbs() planes
+        (trace-time metadata for the MXU piece decomposition). Integer
+        fields: limbs of the non-negative offset w <= span, so plane i is
+        bounded by span >> 26i — the top plane of a modest-span column
+        needs 1 piece instead of 5. f64: signed 26-bit limbs."""
+        if self.ftype == FieldType.F64:
+            m = exact.LIMB_MASK
+            return [(-m, m)] * self.sum_n_limbs
+        return [(0, min(exact.LIMB_MASK,
+                        int(self.span) >> (exact.LIMB_BITS * i)))
+                for i in range(self.sum_n_limbs)]
+
     # -- lazy numeric terms dictionary ----------------------------------------
 
     def term_ids(self):
@@ -484,6 +497,25 @@ class DeviceColumn:
                                 "minA": mnA, "minB": mnB,
                                 "maxA": mxA, "maxB": mxB}
         return self._doc_preagg
+
+    _preagg_bounds: Optional[dict] = None
+
+    def preagg_bounds(self, T: int) -> dict:
+        """STATIC (lo, hi) bounds of the doc_preagg planes, computed once
+        from the host pre-aggregates (query-independent): 'cnt' for the
+        per-doc value-count plane, 'sum' per carry-normalized limb plane.
+        High limb planes of small-valued columns come back (0, 0) and are
+        dropped from MXU operands entirely."""
+        if self._preagg_bounds is None:
+            pre = self.doc_preagg_host(T)
+            s = pre["sum"]
+            self._preagg_bounds = {
+                "cnt": (0, int(pre["cnt"].max(initial=0))),
+                "sum": [(int(s[:, i].min(initial=0)),
+                         int(s[:, i].max(initial=0)))
+                        for i in range(s.shape[1])],
+            }
+        return self._preagg_bounds
 
     # -- ordered layouts ------------------------------------------------------
 

@@ -151,12 +151,53 @@ def dense_bucket_sum(bid, valid, plane, nb: int) -> jnp.ndarray:
 # over the whole batch, since bid/plane are unbatched under vmap) and the
 # batched mask rides a bf16 x bf16 -> f32 systolic matmul. Exactness is by
 # construction, same argument as mxu_cumsum: every piece is a small integer
-# (|piece| <= 127, bf16-exact) and every f32 partial stays < 2^24 because
-# chunks are <= 131072 rows; partials are cast to integers per chunk and
-# accumulated in int64. lax.scan over row chunks bounds the transient
-# footprint to one [B, chunk] bf16 mask block instead of a [B, rows] copy.
+# (piece in [-128, 127], bf16-exact) and every f32 partial stays <= 2^24
+# (131072 * 128, still integer-exact in f32) because chunks are <= 131072
+# rows; partials are cast to integers per chunk and accumulated in int64.
+# lax.scan over row chunks bounds the transient footprint to one
+# [B, chunk] bf16 mask block instead of a [B, rows] copy. The dominant
+# cost is MATERIALIZING the [chunk, K] operand each step (measured: piece
+# count, not matmul FLOPs, moves the wall clock), so callers pass STATIC
+# value bounds wherever the plane has a known span — npieces_for_bound
+# shrinks K from the worst-case 5 pieces/plane to ceil(bits/7).
 
 _MXU_DENSE_CHUNKS = (131072, 65536, 32768, 8192, 4096)
+
+
+def npieces_for_bound(bound) -> int:
+    """Number of 7-bit pieces needed to decompose int32 values with STATIC
+    bounds `bound = (lo, hi)` (inclusive) exactly: low pieces are
+    (v >> 7i) & 127 in [0, 127], the top piece is the arithmetic shift
+    v >> 7*(np-1) and must land in [-128, 127] for bf16 exactness (the
+    chunked-matmul partial bound 131072 * 128 = 2^24 is still f32-exact).
+    v == sum_lowpieces + (top << 7*(np-1)) holds for any signed int32.
+    None (unknown bounds) -> 5 pieces (the full-int32 decomposition)."""
+    if bound is None:
+        return 5
+    lo, hi = int(bound[0]), int(bound[1])
+    for np_ in range(1, 5):
+        s = 7 * (np_ - 1)
+        if -128 <= (lo >> s) and (hi >> s) <= 127:
+            return np_
+    return 5
+
+
+def _pieces(v, np_: int):
+    """The np_ 7-bit pieces of int32 plane v (see npieces_for_bound)."""
+    out = []
+    for i in range(np_):
+        out.append((v >> (7 * i)) & 127 if i < np_ - 1
+                   else v >> (7 * (np_ - 1)))
+    return out
+
+
+def _recombine(acc_pieces):
+    """int64 piece sums [np_] -> exact int64 total."""
+    np_ = acc_pieces.shape[0]
+    out = acc_pieces[np_ - 1] << (7 * (np_ - 1))
+    for i in range(np_ - 2, -1, -1):
+        out = out + (acc_pieces[i] << (7 * i))
+    return out
 
 
 def _mxu_dense_chunk(rows: int):
@@ -197,64 +238,73 @@ def dense_bucket_counts_mxu(bid, valid, nb: int) -> jnp.ndarray:
     return _dense_mxu_scan(valid, nb, rows // chunk, chunk, make_op)
 
 
-def dense_bucket_sum_mxu(bid, valid, plane, nb: int) -> jnp.ndarray:
-    """dense_bucket_sum for a STATIC bid plane: 7-bit signed pieces of the
-    int32 payload (4 low pieces in [0,127], top piece = v >> 28 in [-8,7])
-    each ride the same chunked matmul; recombined with int64 shifts."""
+def dense_bucket_sum_mxu(bid, valid, plane, nb: int, bound=None) -> jnp.ndarray:
+    """dense_bucket_sum for a STATIC bid plane: 7-bit pieces of the int32
+    payload each ride the same chunked matmul; recombined with int64
+    shifts. `bound` is an optional STATIC inclusive (lo, hi) on the
+    plane's values at valid rows — it shrinks the piece count (and hence
+    the dominant per-chunk operand materialization) from the worst-case 5
+    (full int32) down to e.g. 2 for a 14-bit column span."""
     rows = bid.shape[0]
     chunk = _mxu_dense_chunk(rows)
     if chunk is None or plane.dtype != I32:
         return dense_bucket_sum(bid, valid, plane, nb)
+    if bound is not None and bound[0] == 0 and bound[1] == 0:
+        return jnp.zeros(nb, I64)  # statically all-zero plane
     iota = jnp.arange(nb, dtype=I32)
-    npieces = 5
+    npieces = npieces_for_bound(bound)
 
     def make_op(c):
         b = jax.lax.dynamic_slice_in_dim(bid, c * chunk, chunk)
         v = jax.lax.dynamic_slice_in_dim(plane, c * chunk, chunk)
         oh = b[:, None] == iota
-        ops = []
-        for i in range(npieces):
-            p = (v >> (7 * i)) & 127 if i < npieces - 1 else v >> 28
-            ops.append(jnp.where(oh, p[:, None], 0).astype(jnp.bfloat16))
-        return jnp.concatenate(ops, axis=1)  # [chunk, npieces*nb]
+        return jnp.concatenate(
+            [jnp.where(oh, p[:, None], 0).astype(jnp.bfloat16)
+             for p in _pieces(v, npieces)], axis=1)  # [chunk, npieces*nb]
 
     acc = _dense_mxu_scan(valid, npieces * nb, rows // chunk, chunk, make_op)
-    acc = acc.reshape(npieces, nb)
-    out = acc[npieces - 1] << (7 * (npieces - 1))
-    for i in range(npieces - 2, -1, -1):
-        out = out + (acc[i] << (7 * i))
-    return out
+    return _recombine(acc.reshape(npieces, nb))
 
 
-def masked_sum_planes_mxu(mask, planes) -> jnp.ndarray:
+def masked_sum_planes_mxu(mask, planes, bounds=None) -> jnp.ndarray:
     """Exact int64 masked sums of L int32 planes in ONE chunked MXU pass:
-    sums[l] = sum_r mask[r] * planes[l][r]. The 5 signed 7-bit pieces of
-    every plane concatenate into a single [chunk, 5L] static operand, so an
-    msearch batch pays one matmul stream instead of L VPU reduction passes
-    per query (bench c2's avg-over-multi-valued was 3 such passes).
+    sums[l] = sum_r mask[r] * planes[l][r]. The 7-bit pieces of every
+    plane concatenate into a single [chunk, sum(npieces)] static operand,
+    so an msearch batch pays one matmul stream instead of L VPU reduction
+    passes per query (bench c2's avg-over-multi-valued was 3 such passes).
+    `bounds` is an optional per-plane list of STATIC inclusive (lo, hi)
+    value bounds (None entries -> worst-case 5 pieces); statically-zero
+    planes ((0, 0) bounds — e.g. high carry-limb planes of a small-valued
+    column) are dropped from the operand entirely.
     Falls back to ts_sum_plane when rows don't chunk cleanly."""
     rows = planes[0].shape[0]
     chunk = _mxu_dense_chunk(rows)
     if chunk is None or any(p.dtype != I32 for p in planes):
         return jnp.stack([ts_sum_plane(p, mask) for p in planes])
     L = len(planes)
-    npieces = 5
+    if bounds is None:
+        bounds = [None] * L
+    live = [l for l in range(L)
+            if bounds[l] is None or tuple(bounds[l]) != (0, 0)]
+    if not live:
+        return jnp.zeros(L, I64)
+    nps = [npieces_for_bound(bounds[l]) for l in live]
+    K = sum(nps)
 
     def make_op(c):
         ops = []
-        for p in planes:
-            v = jax.lax.dynamic_slice_in_dim(p, c * chunk, chunk)
-            for i in range(npieces):
-                pc = (v >> (7 * i)) & 127 if i < npieces - 1 else v >> 28
-                ops.append(pc.astype(jnp.bfloat16))
-        return jnp.stack(ops, axis=1)  # [chunk, L*npieces]
+        for l, np_ in zip(live, nps):
+            v = jax.lax.dynamic_slice_in_dim(planes[l], c * chunk, chunk)
+            ops.extend(pc.astype(jnp.bfloat16) for pc in _pieces(v, np_))
+        return jnp.stack(ops, axis=1)  # [chunk, K]
 
-    acc = _dense_mxu_scan(mask, L * npieces, rows // chunk, chunk, make_op)
-    acc = acc.reshape(L, npieces)
-    out = acc[:, npieces - 1] << (7 * (npieces - 1))
-    for i in range(npieces - 2, -1, -1):
-        out = out + (acc[:, i] << (7 * i))
-    return out
+    acc = _dense_mxu_scan(mask, K, rows // chunk, chunk, make_op)
+    out = [jnp.zeros((), I64)] * L
+    o = 0
+    for l, np_ in zip(live, nps):
+        out[l] = _recombine(acc[o:o + np_])
+        o += np_
+    return jnp.stack(out)
 
 
 def dense_bucket_min(bid, valid, plane, nb: int) -> jnp.ndarray:

@@ -104,6 +104,44 @@ def test_dense_mxu_matches_onehot(rows):
         assert (np.asarray(got_s) == np.asarray(ref_s)).all()
 
 
+@pytest.mark.parametrize("bound", [
+    (0, 0), (0, 99), (0, 127), (0, 128), (0, 9999), (0, 2**14 - 1),
+    (0, 2**26 - 1), (-(2**26 - 1), 2**26 - 1), (-5, 5), (0, 2**31 - 2),
+])
+def test_bounded_piece_decomposition_exact(bound):
+    """Span-derived piece counts stay bit-exact at the bound edges: values
+    drawn ON the bounds (and across the whole range) through both bounded
+    MXU entry points == the unbounded/one-hot references."""
+    rng = np.random.default_rng(abs(bound[1]) + 1)
+    rows, nb = 32768, 7
+    lo, hi = bound
+    vals = rng.integers(lo, hi + 1, rows).astype(np.int32)
+    vals[:8] = lo          # force edge values through the top piece
+    vals[8:16] = hi
+    plane = jnp.asarray(vals)
+    bid = jnp.asarray(rng.integers(-1, nb, rows).astype(np.int32))
+    np_ = R.npieces_for_bound(bound)
+    assert 1 <= np_ <= 5
+    # the decomposition identity itself, on the numpy side
+    recon = sum((((vals.astype(np.int64) >> (7 * i)) & 127) << (7 * i))
+                for i in range(np_ - 1))
+    recon = recon + ((vals.astype(np.int64) >> (7 * (np_ - 1)))
+                     << (7 * (np_ - 1)))
+    assert (recon == vals).all()
+    with jax.enable_x64(True):
+        m1 = jnp.asarray(rng.random(rows) < 0.5)
+        got = np.asarray(R.dense_bucket_sum_mxu(bid, m1, plane, nb,
+                                                bound=bound))
+        ref = np.asarray(R.dense_bucket_sum(bid, m1, plane, nb))
+        assert (got == ref).all()
+        zero = jnp.zeros(rows, jnp.int32)
+        gotp = np.asarray(R.masked_sum_planes_mxu(
+            m1, [plane, zero, plane], bounds=[bound, (0, 0), None]))
+        refp = np.asarray(jnp.stack(
+            [R.ts_sum_plane(p, m1) for p in (plane, zero, plane)]))
+        assert (gotp == refp).all()
+
+
 def test_masked_sum_planes_mxu_matches_ts():
     rng = np.random.default_rng(77)
     for rows in (32768, 2 * 131072, 2048):  # 2048: fallback path
