@@ -220,6 +220,7 @@ class Program:
         self.raw_fn = fn
         self._fn = jax.jit(fn)
         self._fn_vmapped = None  # lazily compiled msearch variant
+        self._vm_keys = None  # (scalar-packed, passthrough) param keys
         self.batch_cap = self._batch_cap()
         self._defer_topk = 0  # >0 while tracing inside a plane fan-out
 
@@ -325,9 +326,6 @@ class Program:
     # of the device link is paid once instead of B times.)
 
     def submit_many(self, queries, aggs, pad_to=None):
-        if self._fn_vmapped is None:
-            self._fn_vmapped = jax.jit(jax.vmap(
-                self.raw_fn, in_axes=(0, None)))
         plist = []
         for q in queries:
             params = qc.extract_params(q, self.dindex)
@@ -336,11 +334,35 @@ class Program:
         if pad_to is not None:
             while len(plist) < pad_to:  # avoid a jit entry per batch size
                 plist.append(plist[-1])
-        stacked = {k: jnp.asarray(np.stack([p[k] for p in plist]))
-                   for k in plist[0]}
-        # param-less queries (match-all) still need a mapped axis for vmap
-        stacked["__b__"] = jnp.zeros(len(plist), I32)
-        return self._fn_vmapped(stacked, self._arrays)
+        if self._fn_vmapped is None:
+            # Pack every int32 SCALAR param into one [B, P] device array:
+            # the axon link pays a fixed per-array cost, so a batch must
+            # push ONE param array, not one per param key (w-domain
+            # scalars, query/compile.py). Non-scalar params (set-query
+            # run tables) stay their own stacked arrays — rare, and their
+            # shapes are program-structural.
+            p0 = plist[0]
+            sk = tuple(sorted(k for k in p0 if np.ndim(p0[k]) == 0
+                              and np.asarray(p0[k]).dtype == np.int32))
+            ok = tuple(sorted(k for k in p0 if k not in sk))
+            self._vm_keys = (sk, ok)
+            raw_fn = self.raw_fn
+
+            def packed_fn(pvec, others, arrays):
+                params = {k: pvec[i] for i, k in enumerate(sk)}
+                params.update(others)
+                return raw_fn(params, arrays)
+
+            self._fn_vmapped = jax.jit(jax.vmap(packed_fn,
+                                                in_axes=(0, 0, None)))
+        sk, ok = self._vm_keys
+        pvec = np.zeros((len(plist), max(1, len(sk))), np.int32)
+        for b, p in enumerate(plist):
+            for i, k in enumerate(sk):
+                pvec[b, i] = p[k]
+        others = {k: jnp.asarray(np.stack([p[k] for p in plist]))
+                  for k in ok}
+        return self._fn_vmapped(jnp.asarray(pvec), others, self._arrays)
 
     def stage(self, raw, aggs):
         """Start the async device->host copy of the ONE packed fruit vector

@@ -149,13 +149,12 @@ def dense_bucket_sum(bid, valid, plane, nb: int) -> jnp.ndarray:
 # with the right operand query-independent. That is MXU work, not VPU work:
 # the per-chunk one-hot/piece operand is built once per chunk (amortized
 # over the whole batch, since bid/plane are unbatched under vmap) and the
-# batched mask rides a bf16 x bf16 -> f32 systolic matmul. Exactness is by
-# construction, same argument as mxu_cumsum: every piece is a small integer
-# (piece in [-128, 127], bf16-exact) and every f32 partial stays <= 2^24
-# (131072 * 128, still integer-exact in f32) because chunks are <= 131072
-# rows; partials are cast to integers per chunk and accumulated in int64.
+# batched mask rides an s8 x s8 -> s32 systolic matmul (v5e int8 MXU runs
+# at 2x the bf16 rate and the mask block halves). Exactness is by dtype:
+# every piece is int8 (in [-128, 127]) and each per-chunk s32 lane sum is
+# <= 131072 * 128 < 2^31; per-chunk partials accumulate in int64.
 # lax.scan over row chunks bounds the transient footprint to one
-# [B, chunk] bf16 mask block instead of a [B, rows] copy. The dominant
+# [B, chunk] int8 mask block instead of a [B, rows] copy. The dominant
 # cost is MATERIALIZING the [chunk, K] operand each step (measured: piece
 # count, not matmul FLOPs, moves the wall clock), so callers pass STATIC
 # value bounds wherever the plane has a known span — npieces_for_bound
@@ -168,8 +167,8 @@ def npieces_for_bound(bound) -> int:
     """Number of 7-bit pieces needed to decompose int32 values with STATIC
     bounds `bound = (lo, hi)` (inclusive) exactly: low pieces are
     (v >> 7i) & 127 in [0, 127], the top piece is the arithmetic shift
-    v >> 7*(np-1) and must land in [-128, 127] for bf16 exactness (the
-    chunked-matmul partial bound 131072 * 128 = 2^24 is still f32-exact).
+    v >> 7*(np-1) and must land in [-128, 127] (int8 operand range; each
+    chunked-matmul s32 partial is bounded by 131072 * 128 < 2^31).
     v == sum_lowpieces + (top << 7*(np-1)) holds for any signed int32.
     None (unknown bounds) -> 5 pieces (the full-int32 decomposition)."""
     if bound is None:
@@ -208,15 +207,16 @@ def _mxu_dense_chunk(rows: int):
 
 
 def _dense_mxu_scan(valid, K: int, n_chunks: int, chunk: int, make_op):
-    """Shared chunked-matmul driver: acc[k] += m_chunk @ op_chunk[r, k]."""
-    bf16 = jnp.bfloat16
-
+    """Shared chunked-matmul driver: acc[k] += m_chunk @ op_chunk[r, k].
+    s8 x s8 -> s32 (v5e runs int8 MXU at 2x the bf16 rate and the mask
+    materialization halves vs bf16; measured 1.75x at small K). Exact by
+    dtype alone: every per-chunk lane sum is <= 131072 * 128 < 2^31."""
     def body(acc, c):
         m = jax.lax.dynamic_slice_in_dim(valid, c * chunk, chunk)
-        op = make_op(c)  # [chunk, K] bf16, query-independent
-        part = jnp.einsum("r,rk->k", m.astype(bf16), op,
-                          preferred_element_type=jnp.float32)
-        return acc + part.astype(I32).astype(I64), None
+        op = make_op(c)  # [chunk, K] int8, query-independent
+        part = jnp.einsum("r,rk->k", m.astype(jnp.int8), op,
+                          preferred_element_type=I32)
+        return acc + part.astype(I64), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros(K, I64), jnp.arange(n_chunks))
     return acc
@@ -233,7 +233,7 @@ def dense_bucket_counts_mxu(bid, valid, nb: int) -> jnp.ndarray:
 
     def make_op(c):
         b = jax.lax.dynamic_slice_in_dim(bid, c * chunk, chunk)
-        return (b[:, None] == iota).astype(jnp.bfloat16)
+        return (b[:, None] == iota).astype(jnp.int8)
 
     return _dense_mxu_scan(valid, nb, rows // chunk, chunk, make_op)
 
@@ -259,7 +259,7 @@ def dense_bucket_sum_mxu(bid, valid, plane, nb: int, bound=None) -> jnp.ndarray:
         v = jax.lax.dynamic_slice_in_dim(plane, c * chunk, chunk)
         oh = b[:, None] == iota
         return jnp.concatenate(
-            [jnp.where(oh, p[:, None], 0).astype(jnp.bfloat16)
+            [jnp.where(oh, p[:, None], 0).astype(jnp.int8)
              for p in _pieces(v, npieces)], axis=1)  # [chunk, npieces*nb]
 
     acc = _dense_mxu_scan(valid, npieces * nb, rows // chunk, chunk, make_op)
@@ -295,7 +295,7 @@ def masked_sum_planes_mxu(mask, planes, bounds=None) -> jnp.ndarray:
         ops = []
         for l, np_ in zip(live, nps):
             v = jax.lax.dynamic_slice_in_dim(planes[l], c * chunk, chunk)
-            ops.extend(pc.astype(jnp.bfloat16) for pc in _pieces(v, np_))
+            ops.extend(pc.astype(jnp.int8) for pc in _pieces(v, np_))
         return jnp.stack(ops, axis=1)  # [chunk, K]
 
     acc = _dense_mxu_scan(mask, K, rows // chunk, chunk, make_op)

@@ -15,6 +15,16 @@ from .aggs import ir as agg_ir
 from .query import ir as query_ir
 
 
+def _copy_fruits(v):
+    """Independent copy of a fruit tree (dicts/lists of scalars — the
+    only shapes harvest produces)."""
+    if isinstance(v, dict):
+        return {k: _copy_fruits(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_copy_fruits(x) for x in v]
+    return v
+
+
 class _HostFallback:
     """Exact host execution for the rare agg-tree shapes the device planner
     cannot lower yet (SURVEY.md §2.1: the spec defines semantics for every
@@ -177,12 +187,14 @@ class Searcher:
         if len(queries) == nuniq:
             return uniq_outs
         # duplicated requests: each caller gets its own result object
-        import copy
+        # (fruits are plain dict/list/scalar trees — a direct recursive
+        # copy is ~10x cheaper than copy.deepcopy's memo machinery, and
+        # deepcopy dominated the dedup serving mode on bucketed trees)
         seen = [False] * nuniq
         out = []
         for i in idxmap:
             out.append(uniq_outs[i] if not seen[i]
-                       else copy.deepcopy(uniq_outs[i]))
+                       else _copy_fruits(uniq_outs[i]))
             seen[i] = True
         return out
 
