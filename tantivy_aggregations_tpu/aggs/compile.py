@@ -221,6 +221,7 @@ class Program:
         self._fn = jax.jit(fn)
         self._fn_vmapped = None  # lazily compiled msearch variant
         self._vm_keys = None  # (scalar-packed, passthrough) param keys
+        self._zero_pvec = {}  # batch size -> cached [B, 1] zeros operand
         self.batch_cap = self._batch_cap()
         self._defer_topk = 0  # >0 while tracing inside a plane fan-out
 
@@ -356,13 +357,23 @@ class Program:
             self._fn_vmapped = jax.jit(jax.vmap(packed_fn,
                                                 in_axes=(0, 0, None)))
         sk, ok = self._vm_keys
-        pvec = np.zeros((len(plist), max(1, len(sk))), np.int32)
-        for b, p in enumerate(plist):
-            for i, k in enumerate(sk):
-                pvec[b, i] = p[k]
+        if not sk:
+            # param-less batch (match-all shapes): the [B, 1] zeros operand
+            # never changes — cache it per batch size so serving groups
+            # don't pay the axon link's fixed per-array push cost per group
+            pv = self._zero_pvec.get(len(plist))
+            if pv is None:
+                pv = self._zero_pvec[len(plist)] = jnp.zeros(
+                    (len(plist), 1), I32)
+        else:
+            pvec = np.zeros((len(plist), len(sk)), np.int32)
+            for b, p in enumerate(plist):
+                for i, k in enumerate(sk):
+                    pvec[b, i] = p[k]
+            pv = jnp.asarray(pvec)
         others = {k: jnp.asarray(np.stack([p[k] for p in plist]))
                   for k in ok}
-        return self._fn_vmapped(jnp.asarray(pvec), others, self._arrays)
+        return self._fn_vmapped(pv, others, self._arrays)
 
     def stage(self, raw, aggs):
         """Start the async device->host copy of the ONE packed fruit vector
