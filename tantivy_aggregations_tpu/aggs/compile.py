@@ -32,8 +32,10 @@ the measured hardware rationale):
   through the same phase-2 cross-shard bisection over (cum32, vmask)
   intermediates. Multi-valued (CSR) fields rank-select over VALUE-ROW
   layouts (every value is a row; the query mask is gathered per row's
-  owning doc), so they ride the same rank/bisect paths. ("sort" fallback
-  remains only for non-dense query chains.)
+  owning doc), so they ride the same rank/bisect paths. NON-DENSE query
+  chains (CSR overflow tails / token streams among the query fields) take
+  the doc mask through a static perm∘row_doc index plane ("mask_gather")
+  and then the same rank/bisect selection — there is no sort lowering.
 - "scatter" fallback for everything else (XLA:CPU executes scatters well).
 
 Nesting compiles to composite bucket slots (SURVEY.md §7 step 4), including
@@ -211,8 +213,6 @@ class Program:
                     continue
                 if pp["pmode"] == "rank" and not pp["int_percents"]:
                     big_specs["/".join(path)] = (P("d"), P("d"))
-                elif pp["pmode"] == "sort":
-                    big_specs["/".join(path)] = P()
             fn = jax.shard_map(fn, mesh=dindex.mesh,
                                in_specs=(P(), arr_specs),
                                out_specs={"packed": P(), "big": big_specs},
@@ -238,8 +238,8 @@ class Program:
         row-axis residency worth capping). The rare per-slot selection
         paths keep O(rows)-sized state per batched query alive through
         selection — slot planes (slot_rank), 3-key sort buffers (in-slot
-        top_hits / sort-mode percentiles) — so the group must shrink as
-        rows grow or a 10M-row batch would exhaust HBM."""
+        top_hits) — so the group must shrink as rows grow or a 10M-row
+        batch would exhaust HBM."""
         per_q = 0  # SUM over nodes: XLA liveness may keep several
         # subtrees' [rows] intermediates alive at once in one program
         for p in self.plan.values():
@@ -255,9 +255,9 @@ class Program:
                     per_q += rows * (9 + p["nslots"] // 4)
             elif kind == "percentiles" and p.get("pmode") == "rank" \
                     and not p.get("pallas_counts"):
-                per_q += p["layout"].n_rows * 3
-            elif kind == "percentiles" and p.get("pmode") == "sort":
-                per_q += self.dindex.T * 24
+                # mask-gather mode adds the [R] int32 take result
+                per_q += p["layout"].n_rows * \
+                    (7 if p.get("mask_gather") else 3)
             elif kind == "top_hits" and p.get("in_slot"):
                 per_q += self.dindex.T * 50
         if per_q == 0:
@@ -423,21 +423,17 @@ class Program:
                     rk.append(rk[-1])
                 with jax.enable_x64(True):
                     ranks = jnp.asarray(rk, I64)  # [Bpad, 2P]
-                if p["pmode"] == "rank":
-                    if p.get("pallas_counts"):
-                        fn, planes = self._lazy_phase2(path, p, True)
-                        gathers[path] = fn(dev[0], dev[1], ranks, planes)
-                    elif p.get("bisect"):
-                        cum32, vm = dev
-                        fn, planes = self._bisect_phase2(path, p, True)
-                        gathers[path] = fn(cum32, vm, ranks, planes)
-                    else:
-                        cum32, vm = dev
-                        gathers[path] = jax.vmap(_rank_select)(cum32, vm,
-                                                               ranks)
+                if p.get("pallas_counts"):
+                    fn, planes = self._lazy_phase2(path, p, True)
+                    gathers[path] = fn(dev[0], dev[1], ranks, planes)
+                elif p.get("bisect"):
+                    cum32, vm = dev
+                    fn, planes = self._bisect_phase2(path, p, True)
+                    gathers[path] = fn(cum32, vm, ranks, planes)
                 else:
-                    gathers[path] = jax.vmap(
-                        lambda a, i: a[i])(dev, ranks.astype(I32))
+                    cum32, vm = dev
+                    gathers[path] = jax.vmap(_rank_select)(cum32, vm,
+                                                           ranks)
             got = jax.device_get(gathers)
             for path, vals in got.items():
                 for b in range(B):
@@ -1177,9 +1173,52 @@ class Program:
                 self._build_ccounts_view(layout, prefix, chain,
                                          row_doc=row_doc)
         else:
-            p["pmode"] = "sort"
-            self._need_col_planes(col)
+            # NON-DENSE chain (CSR overflow tails / token streams among the
+            # query fields): the mask cannot be re-evaluated in permuted row
+            # space. Instead of the old all-gather+sort lowering (a 10M-row
+            # device sort per query — 100-1000x off roofline on this TPU),
+            # GATHER the doc mask through the STATIC perm∘row_doc index
+            # plane (one take per query) and ride the exact same rank /
+            # bisect selection machinery as dense chains.
+            if col.multi and not col.has_value_rows:
+                raise NotImplementedError(
+                    "percentiles over a CSR column without value rows")
+            p["pmode"] = "rank"
+            p["mask_gather"] = True
+            p["int_percents"] = all(float(q).is_integer()
+                                    for q in node.percents)
+            layout = col.value_layout()
+            p["layout"] = layout
+            prefix = f"VL:{node.field}#"
+            p["prefix"] = prefix
+            p["chain"] = chain
+            p["bisect"] = self._sharded
+            p["span"] = col.span
+            p["pallas_counts"] = False
+            self._need(prefix + "lvalid", layout.valid_perm)
+            self._register_pdoc(col, layout, prefix)
+            if p["bisect"]:
+                self._need_sorted_value_planes(col, layout, prefix)
         self.plan[path] = p
+
+    def _register_pdoc(self, col, layout, prefix):
+        """Static shard-local doc index per PERMUTED value row ("pdoc"):
+        layout row i reads the query mask at mask[pdoc[i]]. Composes the
+        layout permutation with the CSR row->doc map; sharded chunks
+        subtract their shard's doc base so the gather stays shard-local
+        under shard_map (the permutation never crosses shards)."""
+        from ..index.loader import _put, _mesh_D
+        if "pdoc" not in layout.cache:
+            pd = (col.global_doc_of_rows(self.dindex.T)[layout.perm]
+                  if col.multi else layout.perm.astype(np.int64))
+            D = _mesh_D(self.dindex.mesh)
+            if D > 1:
+                R = pd.shape[0]
+                pd = pd - (np.arange(R, dtype=np.int64) // (R // D)) \
+                    * (self.dindex.T // D)
+            layout.cache["pdoc"] = _put(pd.astype(np.int32),
+                                        self.dindex.mesh)
+        self._need(prefix + "pdoc", layout.cache["pdoc"])
 
     def _hist_layout(self, col, node):
         if col.n_values == 0:
@@ -1927,7 +1966,15 @@ class Program:
         if p["pmode"] == "rank":
             # local (shard) row count: layout.n_rows is the global length
             Rn = arrays[p["prefix"] + "lvalid"].shape[0]
-            vm = self._perm_mask(ctx.chain, params, arrays, p["prefix"], Rn)
+            if p.get("mask_gather"):
+                # non-dense chain: take the already-evaluated doc mask
+                # through the static permuted row->doc index plane
+                vm = (jnp.take(ctx.mask, arrays[p["prefix"] + "pdoc"],
+                               axis=0)
+                      & (arrays[p["prefix"] + "lvalid"] > 0))
+            else:
+                vm = self._perm_mask(ctx.chain, params, arrays,
+                                     p["prefix"], Rn)
             # int32 prefix: per-block counts <= 32 and totals <= Rn < 2^31,
             # so the cumsum is exact — and ~4x faster than the int64
             # emulation, which dominated this whole program (measured)
@@ -1948,19 +1995,7 @@ class Program:
             rows = _rank_select_rows(cum32, vm.astype(jnp.int8),
                                      jnp.stack(ranks))
             return {"m": m, "rows": rows}
-        # sort path
-        if col.multi:
-            doc = arrays[f"{field}:doc"]
-            vmask = ctx.mask[doc] & (arrays[f"{field}:valid"] > 0)
-            planes = self._planes_only(field, arrays)
-        else:
-            vmask = ctx.mask
-            planes = self._planes_only(field, arrays)
-        rm = self._recon_rm(field, planes)
-        srt = jnp.sort(jnp.where(vmask, rm, I64_MAX))
-        if self._sharded:
-            srt = jnp.sort(jax.lax.all_gather(srt, "d", tiled=True))
-        return {"sorted": srt, "m": self._madd(R.ts_count(vmask))}
+        raise AssertionError(f"unknown pmode {p['pmode']!r}")
 
     def _eval_percentiles_slots_pallas(self, node, params, arrays, p):
         """slot_rank via the fused chain_slot_counts kernel: ONE plane pass
@@ -2637,8 +2672,6 @@ class Program:
                     bigs["/".join(path)] = (
                         (r["cum128"], r["qp"]) if "cum128" in r
                         else (r["cum32"], r["vmask_perm"]))
-                else:
-                    bigs["/".join(path)] = r["sorted"]
                 return
             if isinstance(node, (A.HistogramAgg, A.TermsAgg,
                                  A.FilterAgg, A.PostFilterAgg)):
@@ -2779,21 +2812,18 @@ class Program:
                 fracs.append(fr)
                 ranks.extend([lo, hi])
             node_host["_fracs"] = fracs
-            if p["pmode"] == "rank":
-                with jax.enable_x64(True):
-                    rarr = jnp.asarray(ranks, I64)
-                if p.get("pallas_counts"):
-                    fn, planes = self._lazy_phase2(path, p, False)
-                    gathers[path] = fn(dev[0], dev[1], rarr, planes)
-                elif p.get("bisect"):
-                    cum32, vm = dev
-                    fn, planes = self._bisect_phase2(path, p, False)
-                    gathers[path] = fn(cum32, vm, rarr, planes)
-                else:
-                    cum32, vm = dev
-                    gathers[path] = _rank_select(cum32, vm, rarr)
+            with jax.enable_x64(True):
+                rarr = jnp.asarray(ranks, I64)
+            if p.get("pallas_counts"):
+                fn, planes = self._lazy_phase2(path, p, False)
+                gathers[path] = fn(dev[0], dev[1], rarr, planes)
+            elif p.get("bisect"):
+                cum32, vm = dev
+                fn, planes = self._bisect_phase2(path, p, False)
+                gathers[path] = fn(cum32, vm, rarr, planes)
             else:
-                gathers[path] = _take(dev, jnp.asarray(ranks, I32))
+                cum32, vm = dev
+                gathers[path] = _rank_select(cum32, vm, rarr)
         return gathers
 
     def attach_percentiles(self, host, got):
@@ -2986,7 +3016,7 @@ class Program:
             if p["pmode"] == "rank" and not p.get("bisect"):
                 lo_mono = int(p["layout"].sorted_mono[int(got[2 * i])])
                 hi_mono = int(p["layout"].sorted_mono[int(got[2 * i + 1])])
-            else:  # sort / bisect paths emitted rm (wide) or w (narrow) values
+            else:  # bisect paths emitted rm (wide) or w (narrow) values
                 def to_mono(v):
                     w = int(v) if p["narrow"] else int(v) + 2**63
                     return _wrap64(p["min_mono"] + w)
@@ -3146,11 +3176,6 @@ def _limb_totals_vec(a: np.ndarray):
     for i in range(1, a.shape[1]):
         tot += a[:, i].astype(np.int64) << np.int64(exact.LIMB_BITS * i)
     return tot
-
-
-@jax.jit
-def _take(a, idx):
-    return a[idx]
 
 
 # ---------------------------------------------------------------------------

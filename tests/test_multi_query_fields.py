@@ -154,3 +154,33 @@ def test_tailed_multi_query_field_degrades_gracefully():
     idx = tail_index()
     aggs = {"t": terms_agg("tags", size=10)}
     check(idx, TermQuery("vals", 7), aggs)
+
+
+def test_tail_chain_percentiles_gather_rank():
+    """Percentiles under a NON-DENSE query chain (overflow-tail CSR query
+    field) plan mask_gather rank mode — the doc mask is taken through the
+    static perm∘row_doc index plane — instead of the removed 10M-row sort
+    lowering; integer + non-integer percents, single- and multi-valued
+    percentile fields, unsharded and sharded, all bit-equal to the oracle."""
+    from tantivy_aggregations_tpu.parallel.shard import make_mesh
+
+    idx = tail_index()
+    q = TermQuery("vals", 7)
+    for mesh in (None, make_mesh(8)):
+        s = idx.searcher(mesh=mesh)
+        for aggs in ({"p": percentiles_agg("qty")},
+                     {"p": percentiles_agg("vals")},
+                     {"p": percentiles_agg("qty", (33.3, 97.5))}):
+            prog = s._program_for(q, aggs)
+            pp = prog.plan[("a", "p")]
+            assert pp["pmode"] == "rank" and pp.get("mask_gather"), pp
+            assert bool(pp.get("bisect")) == (mesh is not None)
+            check(idx, q, aggs, mesh=mesh)
+    # msearch batch through the gather-mode program
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    reqs = [(TermQuery("vals", v), {"p": percentiles_agg("qty")})
+            for v in (7, 9, 7, 3)]
+    outs = s.agg_search_batch(reqs)
+    for (qq, aa), got in zip(reqs, outs):
+        assert got == o.agg_search(qq, aa)
