@@ -152,7 +152,7 @@ def dense_bucket_sum(bid, valid, plane, nb: int) -> jnp.ndarray:
 # batched mask rides an s8 x s8 -> s32 systolic matmul (v5e int8 MXU runs
 # at 2x the bf16 rate and the mask block halves). Exactness is by dtype:
 # every piece is int8 (in [-128, 127]) and each per-chunk s32 lane sum is
-# <= 131072 * 128 < 2^31; per-chunk partials accumulate in int64.
+# <= 524288 * 127 < 2^31; per-chunk partials accumulate in int64.
 # lax.scan over row chunks bounds the transient footprint to one
 # [B, chunk] int8 mask block instead of a [B, rows] copy. The dominant
 # cost is MATERIALIZING the [chunk, K] operand each step (measured: piece
@@ -160,7 +160,12 @@ def dense_bucket_sum(bid, valid, plane, nb: int) -> jnp.ndarray:
 # value bounds wherever the plane has a known span — npieces_for_bound
 # shrinks K from the worst-case 5 pieces/plane to ceil(bits/7).
 
-_MXU_DENSE_CHUNKS = (131072, 65536, 32768, 8192, 4096)
+_MXU_DENSE_CHUNKS = (524288, 262144, 131072, 65536, 32768, 8192, 4096)
+#: transient [chunk, K] int8 operand cap — the scan-step count is the
+#: dominant cost at fixed K (measured on the v5e: 10M rows x 128 queries x
+#: (30 one-hot + 60 piece) lanes runs 1.9x faster at 524288-row chunks
+#: than 131072; 1M-row chunks regress again once the operand leaves ~64MB)
+_MXU_OP_BUDGET = 1 << 26
 
 
 def npieces_for_bound(bound) -> int:
@@ -168,7 +173,7 @@ def npieces_for_bound(bound) -> int:
     bounds `bound = (lo, hi)` (inclusive) exactly: low pieces are
     (v >> 7i) & 127 in [0, 127], the top piece is the arithmetic shift
     v >> 7*(np-1) and must land in [-128, 127] (int8 operand range; each
-    chunked-matmul s32 partial is bounded by 131072 * 128 < 2^31).
+    chunked-matmul s32 partial is bounded by 524288 * 127 < 2^31).
     v == sum_lowpieces + (top << 7*(np-1)) holds for any signed int32.
     None (unknown bounds) -> 5 pieces (the full-int32 decomposition)."""
     if bound is None:
@@ -199,18 +204,25 @@ def _recombine(acc_pieces):
     return out
 
 
-def _mxu_dense_chunk(rows: int):
-    for c in _MXU_DENSE_CHUNKS:
-        if rows % c == 0:
+def _mxu_dense_chunk(rows: int, K: int = 1):
+    """Largest dividing chunk whose [chunk, K] int8 operand fits the
+    transient budget; the smallest dividing chunk when K alone exceeds it
+    (correctness never depends on the choice — see _dense_mxu_scan)."""
+    fit = [c for c in _MXU_DENSE_CHUNKS if rows % c == 0]
+    if not fit:
+        return None
+    for c in fit:
+        if c * max(1, K) <= _MXU_OP_BUDGET:
             return c
-    return None
+    return fit[-1]
 
 
 def _dense_mxu_scan(valid, K: int, n_chunks: int, chunk: int, make_op):
     """Shared chunked-matmul driver: acc[k] += m_chunk @ op_chunk[r, k].
     s8 x s8 -> s32 (v5e runs int8 MXU at 2x the bf16 rate and the mask
     materialization halves vs bf16; measured 1.75x at small K). Exact by
-    dtype alone: every per-chunk lane sum is <= 131072 * 128 < 2^31."""
+    dtype alone: every per-chunk lane sum is <= 524288 * 127 < 2^31 for
+    any chunk in _MXU_DENSE_CHUNKS."""
     def body(acc, c):
         m = jax.lax.dynamic_slice_in_dim(valid, c * chunk, chunk)
         op = make_op(c)  # [chunk, K] int8, query-independent
@@ -226,7 +238,7 @@ def dense_bucket_counts_mxu(bid, valid, nb: int) -> jnp.ndarray:
     """dense_bucket_counts for a STATIC bid plane, as chunked MXU matmuls.
     Falls back to the one-hot form when rows don't chunk cleanly."""
     rows = bid.shape[0]
-    chunk = _mxu_dense_chunk(rows)
+    chunk = _mxu_dense_chunk(rows, nb)
     if chunk is None:
         return dense_bucket_counts(bid, valid, nb)
     iota = jnp.arange(nb, dtype=I32)
@@ -246,13 +258,13 @@ def dense_bucket_sum_mxu(bid, valid, plane, nb: int, bound=None) -> jnp.ndarray:
     the dominant per-chunk operand materialization) from the worst-case 5
     (full int32) down to e.g. 2 for a 14-bit column span."""
     rows = bid.shape[0]
-    chunk = _mxu_dense_chunk(rows)
+    npieces = npieces_for_bound(bound)
+    chunk = _mxu_dense_chunk(rows, npieces * nb)
     if chunk is None or plane.dtype != I32:
         return dense_bucket_sum(bid, valid, plane, nb)
     if bound is not None and bound[0] == 0 and bound[1] == 0:
         return jnp.zeros(nb, I64)  # statically all-zero plane
     iota = jnp.arange(nb, dtype=I32)
-    npieces = npieces_for_bound(bound)
 
     def make_op(c):
         b = jax.lax.dynamic_slice_in_dim(bid, c * chunk, chunk)
@@ -278,18 +290,18 @@ def masked_sum_planes_mxu(mask, planes, bounds=None) -> jnp.ndarray:
     column) are dropped from the operand entirely.
     Falls back to ts_sum_plane when rows don't chunk cleanly."""
     rows = planes[0].shape[0]
-    chunk = _mxu_dense_chunk(rows)
-    if chunk is None or any(p.dtype != I32 for p in planes):
-        return jnp.stack([ts_sum_plane(p, mask) for p in planes])
     L = len(planes)
     if bounds is None:
         bounds = [None] * L
     live = [l for l in range(L)
             if bounds[l] is None or tuple(bounds[l]) != (0, 0)]
-    if not live:
-        return jnp.zeros(L, I64)
     nps = [npieces_for_bound(bounds[l]) for l in live]
     K = sum(nps)
+    chunk = _mxu_dense_chunk(rows, K)
+    if chunk is None or any(p.dtype != I32 for p in planes):
+        return jnp.stack([ts_sum_plane(p, mask) for p in planes])
+    if not live:
+        return jnp.zeros(L, I64)
 
     def make_op(c):
         ops = []
