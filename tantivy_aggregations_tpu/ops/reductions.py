@@ -196,12 +196,17 @@ def _pieces(v, np_: int):
 
 
 def _recombine(acc_pieces):
-    """int64 piece sums [np_] -> exact int64 total."""
+    """int64 piece sums [np_, ...] -> exact int64 total.
+
+    Vectorized shift-sum on purpose: the scalar accumulation loop
+    ``out = out + (acc_pieces[i] << (7 * i))`` MISCOMPILES under jit on
+    this jax build (0.9.0) for np_ >= 5 — XLA drops shifted terms
+    data-dependently on both the CPU and TPU backends (fuzz-verified;
+    eager mode and numpy agree). Do not rewrite as a Python loop."""
     np_ = acc_pieces.shape[0]
-    out = acc_pieces[np_ - 1] << (7 * (np_ - 1))
-    for i in range(np_ - 2, -1, -1):
-        out = out + (acc_pieces[i] << (7 * i))
-    return out
+    shifts = (jnp.arange(np_, dtype=I64) * 7).reshape(
+        (np_,) + (1,) * (acc_pieces.ndim - 1))
+    return jnp.sum(acc_pieces << shifts, axis=0)
 
 
 def _mxu_dense_chunk(rows: int, K: int = 1):
@@ -414,12 +419,15 @@ def mxu_cumsum(x, max_abs: int, chunk: int = _SCAN_CHUNK) -> jnp.ndarray:
     x3 = x.reshape(*lead, c, chunk)
     tri = jnp.asarray(
         np.triu(np.ones((chunk, chunk), np.float32)).astype(jnp.bfloat16))
-    intra = None
-    for i, p in enumerate(_signed_pieces(x3, max_abs)):
-        part = jnp.einsum("...ck,kj->...cj", p.astype(jnp.bfloat16), tri,
-                          preferred_element_type=jnp.float32)
-        part = part.astype(I32).astype(I64) << (7 * i)
-        intra = part if intra is None else intra + part
+    # vectorized shift-sum (see _recombine: the scalar shift-accumulate
+    # loop miscompiles under jit on this jax build)
+    parts = jnp.stack(
+        [jnp.einsum("...ck,kj->...cj", p.astype(jnp.bfloat16), tri,
+                    preferred_element_type=jnp.float32).astype(I32)
+         for p in _signed_pieces(x3, max_abs)])
+    shifts = (jnp.arange(parts.shape[0], dtype=I64) * 7).reshape(
+        (parts.shape[0],) + (1,) * (parts.ndim - 1))
+    intra = jnp.sum(parts.astype(I64) << shifts, axis=0)
     # chunk totals -> exclusive int64 offsets (tiny: [.., c])
     tot = intra[..., -1]
     off = jnp.cumsum(tot, axis=-1) - tot

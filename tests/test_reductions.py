@@ -161,3 +161,72 @@ def test_masked_sum_planes_mxu_matches_ts():
                 lambda m: jnp.stack([R.ts_sum_plane(p, m)
                                      for p in planes]))(vm))
             assert (gotb == refb).all(), rows
+
+
+def test_recombine_under_jit_exact():
+    """Regression (round 3): this jax build (0.9.0) MISCOMPILES scalar
+    shift-accumulate chains ``out = out + (x[i] << (7 * i))`` under jit
+    when the chain has >= 5 shifted terms — XLA drops terms
+    data-dependently on BOTH the CPU and TPU backends (eager mode and
+    numpy agree; ~3% of random cases). _recombine and cube.recombine are
+    therefore written as vectorized shift-sums; this pins them under jit
+    exactly as the engine's programs run them."""
+    from tantivy_aggregations_tpu.ops import cube
+
+    @jax.jit
+    def f(a):
+        with jax.enable_x64(True):
+            return R._recombine(a)
+
+    rng = np.random.default_rng(5)
+    for trial in range(40):
+        np_ = int(rng.integers(2, 8))
+        m = int(rng.integers(1, 6))
+        acc = rng.integers(-2**40, 2**40, size=(np_, m))
+        ref = np.sum(acc << (7 * np.arange(np_)[:, None]), axis=0)
+        with jax.enable_x64(True):
+            got = np.asarray(f(jnp.asarray(acc)))
+        assert np.array_equal(got, ref), (trial, np_)
+
+    # cube piece pipeline end to end under jit: pack -> dot -> recombine
+    for trial in range(20):
+        m = int(rng.integers(1, 5))
+        D = int(rng.integers(2, 40))
+        vals = rng.integers(-2**45, 2**45, size=(m, D))
+        pieces, layout = cube.pack_groups([("g", vals)])
+        ind = (rng.random(D) < 0.5).astype(np.int8)
+        ref = (vals * ind[None, :].astype(np.int64)).sum(axis=1)
+
+        @jax.jit
+        def g(i8, p):
+            with jax.enable_x64(True):
+                return cube.recombine(cube.cube_dots(i8, p), layout)["g"]
+
+        got = np.atleast_1d(np.asarray(g(jnp.asarray(ind),
+                                         jnp.asarray(pieces))))
+        assert np.array_equal(got, ref), trial
+
+
+def test_masked_sum_planes_mxu_under_jit():
+    """Full-range (5-piece) MXU sums under jit — the engine's actual
+    compilation mode (the eager variant above misses the jit-only XLA
+    shift-chain bug)."""
+    rng = np.random.default_rng(11)
+    rows = 32768
+    planes = [jnp.asarray(rng.integers(-(2**31) + 1, 2**31 - 1,
+                                       rows).astype(np.int32))
+              for _ in range(3)]
+
+    @jax.jit
+    def f(m):
+        with jax.enable_x64(True):
+            return R.masked_sum_planes_mxu(m, planes)
+
+    @jax.jit
+    def ref_f(m):
+        with jax.enable_x64(True):
+            return jnp.stack([R.ts_sum_plane(p, m) for p in planes])
+
+    for seed in range(5):
+        m1 = jnp.asarray(np.random.default_rng(seed).random(rows) < 0.5)
+        assert (np.asarray(f(m1)) == np.asarray(ref_f(m1))).all(), seed
