@@ -37,6 +37,13 @@ the measured hardware rationale):
   the doc mask through a static perm∘row_doc index plane ("mask_gather")
   and then the same rank/bisect selection — there is no sort lowering.
 - "scatter" fallback for everything else (XLA:CPU executes scatters well).
+- value-domain CUBE (ops/cube.py, EngineConfig.use_cube): unsharded trees
+  whose parameterized query chain lives on small single-valued domains
+  answer root-level counts/metrics/filter counts, dense bucket aggs
+  (histogram / small-card terms with Count/Sum/Avg subs), and flat
+  integer-percent rank prefixes from exact [Dprod]-cell pre-aggregates via
+  int8 MXU matmuls — no per-query row pass at all. An exact regrouping of
+  the same integer addends: bit-identical by construction.
 
 Nesting compiles to composite bucket slots (SURVEY.md §7 step 4), including
 percentiles/top_hits under bucket aggs (slot_rank / in-slot sort paths;
@@ -186,6 +193,7 @@ class Program:
             # scope x64 here so Pallas kernels lower under global x64-off
             with jax.enable_x64(True):
                 self._lT = arrays["alive"].shape[0]
+                self._ind_cache = {}  # per-trace cube indicator memo
                 mask = qc.eval_mask(query, dindex, params, ("q",), self._lT,
                                     arrays) & (arrays["alive"] > 0)
                 ctx = MaskCtx(mask, self._root_chain)
@@ -574,6 +582,397 @@ class Program:
         if kind.startswith("mp"):
             return col.multi_planes_host[int(kind[2:])]
         return self._host_planes(col)[1 if kind == "lo" else 0]
+
+    # -- value-domain cubes (ops/cube.py) -------------------------------------
+
+    def _cube_cache(self):
+        cc = getattr(self.dindex, "_cube_cache", None)
+        if cc is None:
+            cc = {}
+            self.dindex._cube_cache = cc
+        return cc
+
+    @staticmethod
+    def _cube_query_ok(q) -> bool:
+        """Queries whose eval_mask over a single-valued narrow/stringy field
+        reads ONLY the `{f}:w` plane and is elementwise in w — the property
+        that makes evaluation over the virtual domain planes the chain
+        predicate itself. PhraseQuery (position windows over the token
+        stream) is the one field-query that is not."""
+        if isinstance(q, Q.BooleanQuery):
+            return all(Program._cube_query_ok(c)
+                       for c in (*q.must, *q.should, *q.must_not))
+        return isinstance(q, (Q.MatchAllQuery, Q.ExistsQuery, Q.TermQuery,
+                              Q.RangeQuery, Q.PrefixQuery, Q.TermSetQuery,
+                              Q.FuzzyTermQuery, Q.RegexQuery))
+
+    def _cube_gate(self, chain):
+        """(factors, Dprod) for a cube-able chain, else None: unsharded,
+        every chain field single-valued narrow/stringy, every chain query
+        elementwise in w, product domain <= CUBE_DOM_CAP, and at least one
+        extracted query param — match-all shaped chains keep the row paths
+        (the cube is an adaptive access structure for parameterized
+        queries, not a result cache; dedup covers repeated identical
+        requests). T < 2^24 keeps the host build_sum float64 accumulation
+        exact (per-cell row counts bound the half-sum magnitudes)."""
+        from ..ops import cube
+        if self._sharded or not self.config.use_cube:
+            return None
+        if self.dindex.T >= (1 << 24):
+            return None
+        if not all(self._cube_query_ok(q) for q, _ in chain):
+            return None
+        facs = []
+        Dprod = 1
+        for f in sorted(self._chain_fields(chain)):
+            col = self._col(f)
+            if col.multi or not (col.narrow or col.ftype.is_stringy):
+                return None
+            Df, off = cube.factor_meta(col)
+            facs.append((f, Df, off))
+            Dprod *= Df
+        if Dprod > cube.CUBE_DOM_CAP or not self._chain_pkeys(chain):
+            return None
+        return tuple(facs), Dprod
+
+    def _cube_host_cell(self, facs):
+        """Host int64 domain-cell index per doc row (alive rows only;
+        cached on the device index — shared by every cube over the same
+        factor set)."""
+        from ..ops import cube
+        cc = self._cube_cache()
+        key = ("cell",) + tuple(f for f, _, _ in facs)
+        if key not in cc:
+            ws = [self._host_planes(self._col(f))[0] for f, _, _ in facs]
+            cc[key] = cube.host_cell(facs, ws, self.dindex.alive_host > 0)
+        return cc[key]
+
+    def _cube_site(self, facs, sig, build_groups):
+        """Register one packed [Dprod, K] int8 piece operand (built host-
+        exact on miss, cached on the device index); returns (array key,
+        column layout), or (None, None) when the site exceeds the static
+        column cap (the caller falls back to the row paths)."""
+        from ..ops import cube
+        from ..index.loader import _put
+        cc = self._cube_cache()
+        fkey = tuple(f for f, _, _ in facs)
+        key = ("site",) + fkey + (sig,)
+        if key not in cc:
+            pieces, layout = cube.pack_groups(build_groups())
+            cc[key] = (None if pieces.shape[1] > cube.CUBE_COLS_CAP
+                       else (_put(pieces, None, 2), layout))
+        if cc[key] is None:
+            return None, None
+        dev, layout = cc[key]
+        akey = "CUBE#" + "|".join(fkey) + "#" + sig
+        self._need(akey, dev)
+        return akey, layout
+
+    def _cube_base(self, facs, Dprod, chain):
+        return {"factors": facs, "Dprod": Dprod, "chain": chain,
+                "ind_key": (facs, tuple(qp for _, qp in chain))}
+
+    def _plan_cube_count(self, p, chain) -> bool:
+        from ..ops import cube
+        g = self._cube_gate(chain)
+        if g is None:
+            return False
+        facs, Dprod = g
+        cell = self._cube_host_cell(facs)
+        key, layout = self._cube_site(
+            facs, "cnt",
+            lambda: [("cnt", cube.build_count(cell, Dprod))])
+        if key is None:
+            return False
+        p["cube"] = {**self._cube_base(facs, Dprod, chain),
+                     "key": key, "layout": layout}
+        return True
+
+    def _plan_cube_metric(self, node, p, chain) -> bool:
+        from ..ops import cube
+        g = self._cube_gate(chain)
+        if g is None:
+            return False
+        facs, Dprod = g
+        col = self._col(node.field)
+        need_min, need_max, need_sum = self._metric_needs(node)
+        cell = self._cube_host_cell(facs)
+        sig = (f"metric:{node.field}:"
+               f"{int(need_min)}{int(need_max)}{int(need_sum)}")
+
+        def build():
+            groups = []
+            if col.multi:
+                pre = self._doc_preagg_host(col)
+                groups.append(
+                    ("cnt", cube.build_sum(cell, pre["cnt"], Dprod)))
+                if need_sum:
+                    groups.append(("sum", np.stack(
+                        [cube.build_sum(cell, pre["sum"][:, i], Dprod)
+                         for i in range(pre["sum"].shape[1])])))
+            else:
+                groups.append(("cnt", cube.build_count(cell, Dprod)))
+                if need_sum:
+                    if col.sum_direct:
+                        groups.append(("sum", cube.build_sum(
+                            cell, self._host_planes(col)[0], Dprod)))
+                    else:
+                        limbs = self._sum_limbs_host(col)
+                        groups.append(("sum", np.stack(
+                            [cube.build_sum(cell, limbs[:, i], Dprod)
+                             for i in range(limbs.shape[1])])))
+            return groups
+
+        key, layout = self._cube_site(facs, sig, build)
+        if key is None:
+            return False
+        cb = {**self._cube_base(facs, Dprod, chain),
+              "key": key, "layout": layout, "mm": {}, "mm_narrow": col.narrow}
+        if need_min or need_max:
+            self._cube_minmax(cb, facs, Dprod, cell, col,
+                              need_min, need_max)
+        p["cube"] = cb
+        return True
+
+    def _cube_minmax(self, cb, facs, Dprod, cell, col, need_min, need_max):
+        """Per-cell min/max planes (separate from the matmul operand):
+        narrow -> one int32 [Dprod] plane; wide -> a [2, Dprod] (hi, lo)
+        split of the int64 rm min/max. Empty-cell sentinels match the row
+        reductions exactly (I32_MAX / -1 narrow, I64_MAX / I64_MIN wide)."""
+        from ..ops import cube
+        from ..index.loader import _put
+        cc = self._cube_cache()
+        fkey = tuple(f for f, _, _ in facs)
+        if col.multi:
+            pre = self._doc_preagg_host(col)
+            valid = pre["cnt"] > 0
+            if col.narrow:
+                srcs = {"min": pre["minA"], "max": pre["maxA"]}
+            else:
+                srcs = {"min": (pre["minA"], pre["minB"]),
+                        "max": (pre["maxA"], pre["maxB"])}
+        else:
+            valid = None
+            hp = self._host_planes(col)
+            srcs = {"min": (hp[0] if col.narrow else (hp[0], hp[1])),
+                    "max": (hp[0] if col.narrow else (hp[0], hp[1]))}
+        for which, need in (("min", need_min), ("max", need_max)):
+            if not need:
+                continue
+            ck = ("mm",) + fkey + (col.name, which, col.multi)
+            if ck not in cc:
+                src = srcs[which]
+                if col.narrow:
+                    arr = (cube.build_min32(cell, src, Dprod, valid)
+                           if which == "min"
+                           else cube.build_max32(cell, src, Dprod, valid))
+                else:
+                    hi, lo = src
+                    rm = ((hi.astype(np.int64) << 32)
+                          + lo.astype(np.int64) + 2**31)
+                    m64 = (cube.build_min64(cell, rm, Dprod, valid)
+                           if which == "min"
+                           else cube.build_max64(cell, rm, Dprod, valid))
+                    arr = np.stack(cube.split_rm(m64))
+                cc[ck] = _put(arr, None, arr.ndim)
+            akey = f"CUBE#{'|'.join(fkey)}#mm:{col.name}:{which}:{col.multi}"
+            self._need(akey, cc[ck])
+            cb["mm"][which] = akey
+
+    def _cube_ind(self, cb, params):
+        """Traced [Dprod] int8 chain indicator over the virtual domain
+        planes — the same eval_mask code as the row formulation, so the
+        predicate semantics are identical by construction. Memoized per
+        trace (nodes sharing a chain share the indicator)."""
+        from ..ops import cube
+        hit = self._ind_cache.get(cb["ind_key"])
+        if hit is not None:
+            return hit
+        planes, Dprod = cube.dom_planes(cb["factors"])
+        m = jnp.ones(Dprod, dtype=bool)
+        for q, qpath in cb["chain"]:
+            m = m & qc.eval_mask(q, self.dindex, params, qpath, Dprod,
+                                 planes)
+        ind = m.astype(jnp.int8)
+        self._ind_cache[cb["ind_key"]] = ind
+        return ind
+
+    def _cube_rec(self, cb, params, arrays):
+        from ..ops import cube
+        ind = self._cube_ind(cb, params)
+        dots = cube.cube_dots(ind, arrays[cb["key"]])
+        return ind, cube.recombine(dots, cb["layout"])
+
+    def _cube_mm_eval(self, cb, ind, arrays, which, is_min):
+        a = arrays[cb["mm"][which]]
+        if cb["mm_narrow"]:
+            sent = 2**31 - 1 if is_min else -1
+            v = jnp.where(ind > 0, a, sent)
+        else:
+            rm = R.wide_recon(a[0], a[1])
+            sent = I64_MAX if is_min else -(2**63)
+            v = jnp.where(ind > 0, rm, sent)
+        return jnp.min(v) if is_min else jnp.max(v)
+
+    def _eval_metric_cube(self, node, params, arrays, p):
+        cb = p["cube"]
+        need_min, need_max, need_sum = self._metric_needs(node)
+        ind, rec = self._cube_rec(cb, params, arrays)
+        out = {"cnt": rec["cnt"]}
+        if need_min:
+            out["min"] = self._cube_mm_eval(cb, ind, arrays, "min", True)
+        if need_max:
+            out["max"] = self._cube_mm_eval(cb, ind, arrays, "max", False)
+        if need_sum:
+            out["sum"] = rec["sum"]
+        return out
+
+    def _plan_cube_bucket(self, node, sig_base, chain, nb, bid_host,
+                          sub_aggs):
+        """Cube lowering for a ROOT-LEVEL dense bucket agg (histogram or
+        small-card terms) over a cube-able chain: per-bucket counts and
+        Count/Sum/Avg sub-agg fruits become [nb, Dprod]-shaped exact piece
+        operands — bucket j's fruit is one more dot lane of the SAME
+        [B, Dprod] indicator matmul, so the whole bucket tree costs no row
+        pass per query. Returns the cube plan dict or None (row paths)."""
+        from ..ops import cube
+        g = self._cube_gate(chain)
+        if g is None:
+            return None
+        if not all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
+                   for _, s in sub_aggs):
+            return None
+        facs, Dprod = g
+        if Dprod * nb > cube.CUBE_BCELLS_CAP:
+            return None
+        cell = self._cube_host_cell(facs)
+        subs = {}
+        for name, s in sub_aggs:
+            if isinstance(s, A.CountAgg):
+                continue
+            scol = self._col(s.field)
+            if scol.multi:
+                subs[name] = {
+                    "multi": True,
+                    "L": int(self._doc_preagg_host(scol)["sum"].shape[1])}
+            elif scol.sum_direct:
+                subs[name] = {"multi": False, "L": 0}
+            else:
+                subs[name] = {
+                    "multi": False,
+                    "L": int(self._sum_limbs_host(scol).shape[1])}
+        sig = sig_base + "#" + "|".join(
+            f"{name}:{type(s).__name__}:{getattr(s, 'field', '')}"
+            for name, s in sub_aggs)
+
+        def build():
+            cell2 = cube.bucket_cell(cell, bid_host, nb)
+            groups = [("counts",
+                       cube.build_bucket_counts(cell2, Dprod, nb))]
+            for name, s in sub_aggs:
+                if isinstance(s, A.CountAgg):
+                    continue  # eval reuses the counts group
+                scol = self._col(s.field)
+                if scol.multi:
+                    pre = self._doc_preagg_host(scol)
+                    groups.append((f"c:{name}", cube.build_bucket_sums(
+                        cell2, pre["cnt"], Dprod, nb)))
+                    limbs = pre["sum"]
+                elif scol.sum_direct:
+                    groups.append((f"s:{name}", cube.build_bucket_sums(
+                        cell2, self._host_planes(scol)[0], Dprod, nb)))
+                    continue
+                else:
+                    limbs = self._sum_limbs_host(scol)
+                S = np.stack(
+                    [cube.build_bucket_sums(cell2, limbs[:, i], Dprod, nb)
+                     for i in range(limbs.shape[1])], axis=1)
+                groups.append((f"s:{name}",
+                               S.reshape(nb * limbs.shape[1], Dprod)))
+            return groups
+
+        key, layout = self._cube_site(facs, sig, build)
+        if key is None:
+            return None
+        return {**self._cube_base(facs, Dprod, chain), "key": key,
+                "layout": layout, "nb": nb, "subs": subs}
+
+    def _plan_cube_sub(self, sub, path, hdims):
+        """Plan entries under a cube'd bucket agg: harvest metadata only
+        (the parent's cube answers every sub fruit; no row planes)."""
+        if isinstance(sub, A.CountAgg):
+            self.plan[path] = {"kind": "count", "hdims": hdims}
+        else:
+            self.plan[path] = self._metric_plan_dict(sub, hdims)
+
+    def _eval_bucket_cube(self, node, p, params, arrays):
+        """(counts [nbuckets], sub_out) for a cube'd root bucket agg —
+        same shapes/dtypes as the dense row formulation's slot fruits
+        (direct sums 1-D, limb sums [nb, L]), so selection and harvest
+        are shared."""
+        cb = p["cube"]
+        nb = cb["nb"]
+        _, rec = self._cube_rec(cb, params, arrays)
+        counts = jnp.reshape(rec["counts"], (nb,))
+        sub_out = {}
+        for name, sub in node.sub_aggs:
+            if isinstance(sub, A.CountAgg):
+                sub_out[name] = {"cnt": counts}
+                continue
+            spec = cb["subs"][name]
+            cnt = (jnp.reshape(rec[f"c:{name}"], (nb,)) if spec["multi"]
+                   else counts)
+            s = rec[f"s:{name}"]
+            sub_out[name] = {
+                "cnt": cnt,
+                "sum": (jnp.reshape(s, (nb,)) if spec["L"] == 0
+                        else jnp.reshape(s, (nb, spec["L"])))}
+        return counts, sub_out
+
+    def _plan_cube_pct(self, p, chain, layout):
+        """Cube lowering for the flat rank-percentile prefix: per-G-row
+        block chain-match counts become one int8 MXU matmul against a
+        static [Dprod, 2*NB] two-digit per-block cell histogram. The
+        histogram is built ONCE on device from the permuted chain planes
+        that the window recompute already keeps resident (no extra tunnel
+        bytes). Unsharded, integer percents, dense chains only."""
+        from ..ops import cube
+        g = self._cube_gate(chain)
+        if g is None:
+            return None
+        facs, Dprod = g
+        G = cube.choose_block(layout.n_rows, Dprod)
+        if G is None:
+            return None
+        cc = self._cube_cache()
+        fkey = tuple(f for f, _, _ in facs)
+        ck = ("phist", p["prefix"], fkey, G)
+        if ck not in cc:
+            cc[ck] = self._build_pct_blockhist(facs, Dprod, G, layout)
+        key = f"PCUBE#{p['prefix']}#{'|'.join(fkey)}#{G}"
+        self._need(key, cc[ck])
+        return {**self._cube_base(facs, Dprod, chain), "key": key, "G": G}
+
+    def _build_pct_blockhist(self, facs, Dprod, G, layout):
+        """One-time jitted device build of the [Dprod, 2*NB] block-cell
+        histogram from the layout's permuted w planes (a query-independent
+        10M-row scatter — off the per-query path)."""
+        from ..ops import cube
+        strides, _ = cube.strides_of(facs)
+        alive = layout.cache["alive"]
+        ws = [layout.cache[f"{f}:w"] for f, _, _ in facs]
+        vp = layout.valid_perm
+
+        @jax.jit
+        def build(alive, vp, *ws):
+            cell = jnp.zeros(ws[0].shape[0], I32)
+            for (_, Df, off), st, w in zip(facs, strides, ws):
+                cell = cell + (w + off) * st
+            cell = jnp.where((alive > 0) & (vp > 0), cell, -1)
+            return cube.build_blockhist(cell, Dprod, G)
+
+        with jax.enable_x64(False):
+            return build(alive, vp, *ws)
 
     # -- permuted views ------------------------------------------------------
 
@@ -976,11 +1375,15 @@ class Program:
                                 tflat=tflat, chain=chain, bchain=bchain)
             return
         if isinstance(node, A.CountAgg):
-            self.plan[path] = {"kind": "count", "hdims": hdims}
+            p = {"kind": "count", "hdims": hdims}
+            if not in_slot:
+                self._plan_cube_count(p, chain)
+            self.plan[path] = p
             return
         if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg,
                              A.StatsAgg)):
-            self._plan_metric(node, path, hdims)
+            self._plan_metric(node, path, hdims,
+                              chain=(chain if not in_slot else None))
             return
         if isinstance(node, A.PercentilesAgg):
             self._plan_percentiles(node, path, hdims, chain,
@@ -998,8 +1401,11 @@ class Program:
             return
         if isinstance(node, (A.FilterAgg, A.PostFilterAgg)):
             self._collect_query_arrays(node.query)
-            self.plan[path] = {"kind": "filter", "hdims": hdims}
+            p = {"kind": "filter", "hdims": hdims}
             sub_chain = chain + ((node.query, path + ("fq",)),)
+            if not in_slot:
+                self._plan_cube_count(p, sub_chain)
+            self.plan[path] = p
             self._plan_aggs(node.sub_aggs, path, in_slot=in_slot,
                             parent_single=parent_single, hdims=hdims,
                             tflat=tflat, chain=sub_chain, bchain=bchain)
@@ -1035,16 +1441,27 @@ class Program:
         need_sum = isinstance(node, (A.SumAgg, A.AvgAgg, A.StatsAgg))
         return need_min, need_max, need_sum
 
-    def _plan_metric(self, node, path, hdims):
+    def _metric_plan_dict(self, node, hdims):
+        """Harvest metadata for a metric node (shared by the row planner
+        and the cube planners, which register no row planes)."""
+        col = self._col(node.field)
+        return {"kind": "metric", "ftype": col.ftype, "narrow": col.narrow,
+                "multi": col.multi,
+                "direct": col.sum_direct and not col.multi,
+                "min_mono": col.min_mono,
+                "min_user": (col.min_user() if col.ftype != FieldType.F64
+                             else None),
+                "base": col.f64_base_exp, "hdims": hdims}
+
+    def _plan_metric(self, node, path, hdims, chain=None):
         col = self._col(node.field)
         need_min, need_max, need_sum = self._metric_needs(node)
-        p = {"kind": "metric", "ftype": col.ftype, "narrow": col.narrow,
-             "multi": col.multi,
-             "direct": col.sum_direct and not col.multi,
-             "min_mono": col.min_mono,
-             "min_user": (col.min_user() if col.ftype != FieldType.F64
-                          else None),
-             "base": col.f64_base_exp, "hdims": hdims}
+        p = self._metric_plan_dict(node, hdims)
+        if chain is not None and self._plan_cube_metric(node, p, chain):
+            # the cube answers cnt/sum/min/max from [Dprod] operands —
+            # no row planes needed for this node
+            self.plan[path] = p
+            return
         if col.multi:
             self._need_preagg(col, need_sum, need_min or need_max)
         else:
@@ -1159,12 +1576,21 @@ class Program:
             p["span"] = col.span
             if p["bisect"]:
                 self._need_sorted_value_planes(col, layout, prefix)
+            # value-domain cube (ops/cube.py): per-block chain-match counts
+            # from ONE [Dprod] x [Dprod, 2*NB] int8 MXU matmul against a
+            # static two-digit per-block cell histogram (built once ON
+            # DEVICE from the already-resident permuted planes) — replaces
+            # the issue-bound VPU plane pass per batch entirely
+            p["pcube"] = (self._plan_cube_pct(p, chain, layout)
+                          if p["int_percents"] else None)
+            if p["pcube"] is not None:
+                p["ckeys"] = self._chain_plane_keys(chain)
             # fused Pallas chain-mask counts (ops/pallas_kernels.py
             # chain_counts): one plane pass per msearch batch, 128-row
             # granularity, no materialized [R] mask — window bits are
             # recomputed from plane slices at selection time
             from ..ops import pallas_kernels as PK
-            p["pallas_counts"] = (self._pallas_ok
+            p["pallas_counts"] = (self._pallas_ok and p["pcube"] is None
                                   and PK.chain_counts_supported(
                                       layout.n_rows))
             if p["pallas_counts"]:
@@ -1324,7 +1750,6 @@ class Program:
                     "multi-valued bucket agg nested under a multi-valued "
                     "bucket field (no device expansion for this shape)")
             p["xpand"] = xp
-        self._need_col_planes(col)
         p.update(self._hist_layout(col, node))
         nb = p["nb"]
         if tflat * nb >= 2**31:
@@ -1335,10 +1760,21 @@ class Program:
         bid_key = (f"{node.field}:bid:cal:{node.calendar}" if node.calendar
                    else f"{node.field}:bid:{node.interval}:{node.offset}")
         bid_host = self._host_bucket_ids(col, p)
-        self._need(bid_key, col.bucket_id_plane(bid_key, lambda: bid_host))
-        p["bid_key"] = bid_key
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
+        if tflat * nb <= self.dense_nb and not in_slot and not col.multi:
+            cb = self._plan_cube_bucket(node, "h:" + bid_key, chain, nb,
+                                        bid_host, node.sub_aggs)
+            if cb is not None:
+                p["mode"] = "dense"
+                p["cube"] = cb
+                self.plan[path] = p
+                for name, sub in node.sub_aggs:
+                    self._plan_cube_sub(sub, path + (name,), hdims + (nb,))
+                return
+        self._need_col_planes(col)
+        self._need(bid_key, col.bucket_id_plane(bid_key, lambda: bid_host))
+        p["bid_key"] = bid_key
         sub_kinds_ok = all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
                            for _, s in node.sub_aggs)
         if tflat * nb <= self.dense_nb:
@@ -1428,13 +1864,11 @@ class Program:
                     "multi-valued bucket agg nested under a multi-valued "
                     "bucket field (no device expansion for this shape)")
             p["xpand"] = xp
-        self._need_col_planes(col)
         if col.ftype.is_stringy:
             card = col.card
             p["keys"] = col.terms
         else:
             tid, values_mono = col.term_ids()
-            self._need(f"{node.field}:tid", tid)
             card = col.card
             p["keys_mono"] = values_mono
         if card > MAX_TERMS_CARD:
@@ -1468,6 +1902,24 @@ class Program:
         if p["plane_fanout"]:
             p["chain_ok"] = True
 
+        if (tflat * card <= self.dense_nb and not in_slot and not col.multi
+                and not isinstance(node, A.FacetAgg)):
+            bid_h = (self._host_planes(col)[0] if col.ftype.is_stringy
+                     else col._term_ids_host)
+            cb = self._plan_cube_bucket(node, f"t:{node.field}:{card}",
+                                        chain, card, bid_h, node.sub_aggs)
+            if cb is not None:
+                p["mode"] = "dense"
+                p["cube"] = cb
+                self.plan[path] = p
+                sub_hdims = hdims + ((card if p["sel"] == "host"
+                                      else p["keff"]),)
+                for name, sub in node.sub_aggs:
+                    self._plan_cube_sub(sub, path + (name,), sub_hdims)
+                return
+        self._need_col_planes(col)
+        if not col.ftype.is_stringy:
+            self._need(f"{node.field}:tid", tid)
         sub_kinds_ok = all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
                            for _, s in node.sub_aggs)
         if tflat * card <= self.dense_nb:
@@ -1615,11 +2067,17 @@ class Program:
 
         if isinstance(node, A.CountAgg):
             if isinstance(ctx, MaskCtx):
+                if p is not None and p.get("cube") is not None:
+                    _, rec = self._cube_rec(p["cube"], params, arrays)
+                    return {"cnt": rec["cnt"]}
                 return {"cnt": self._madd(R.ts_count(ctx.mask))}
             return {"cnt": self._madd(self._slot_counts(ctx))}
 
         if isinstance(node, (A.SumAgg, A.MinAgg, A.MaxAgg, A.AvgAgg,
                              A.StatsAgg)):
+            if (p is not None and p.get("cube") is not None
+                    and isinstance(ctx, MaskCtx)):
+                return self._eval_metric_cube(node, params, arrays, p)
             return self._eval_metric(node, ctx, arrays, p)
 
         if isinstance(node, A.PercentilesAgg):
@@ -1639,7 +2097,13 @@ class Program:
                 sub_ctx = MaskCtx(ctx.mask & fmask,
                                   ctx.chain + ((node.query,
                                                 path + ("fq",)),))
-                out["cnt"] = self._madd(R.ts_count(sub_ctx.mask))
+                if p is not None and p.get("cube") is not None:
+                    # sub-aggs may still consume sub_ctx.mask; when every
+                    # consumer is cube'd too, XLA DCEs the whole row pass
+                    _, rec = self._cube_rec(p["cube"], params, arrays)
+                    out["cnt"] = rec["cnt"]
+                else:
+                    out["cnt"] = self._madd(R.ts_count(sub_ctx.mask))
             else:
                 fr = fmask if ctx.rows_are_docs else fmask[ctx.doc]
                 valid = ctx.valid & fr
@@ -1923,18 +2387,18 @@ class Program:
 
         return mask_of
 
-    def _window_mask(self, p, params, arrays, blk):
-        """Chain-mask bits of the 128-row window at group `blk`, recomputed
+    def _window_mask(self, p, params, arrays, blk, G=128):
+        """Chain-mask bits of the G-row window at group `blk`, recomputed
         from dynamic slices of the ORIGINAL permuted planes (the kernel
-        path never materializes the [R] mask)."""
+        and cube paths never materialize the [R] mask)."""
         prefix, chain = p["prefix"], p["chain"]
-        base = (blk * 128).astype(I32)
+        base = (blk * G).astype(I32)
         sl = {prefix + k: jax.lax.dynamic_slice(
-                  arrays[prefix + k], (base,), (128,))
+                  arrays[prefix + k], (base,), (G,))
               for k in ("alive", "lvalid", *p["ckeys"])}
         m = (sl[prefix + "alive"] > 0) & (sl[prefix + "lvalid"] > 0)
         for q, qpath in chain:
-            m = m & qc.eval_mask(q, self.dindex, params, qpath, 128, sl,
+            m = m & qc.eval_mask(q, self.dindex, params, qpath, G, sl,
                                  prefix)
         return m
 
@@ -1944,6 +2408,21 @@ class Program:
         if p["pmode"] == "slot_rank":
             return self._eval_percentiles_slots(node, ctx, params, arrays,
                                                 path, p)
+        if p["pmode"] == "rank" and p.get("pcube") is not None:
+            from ..ops import cube
+            cb = p["pcube"]
+            ind = self._cube_ind(cb, params)
+            cblocks = cube.block_counts(ind, arrays[cb["key"]])
+            # int32 prefix is exact (block counts <= G, totals <= Rn < 2^31)
+            cum = jnp.cumsum(cblocks)
+            m = self._madd(cum[-1].astype(I64))
+            ranks = self._int_ranks(p, m)
+            G = cb["G"]
+            rows = _rank_select_rows_lazy(
+                cum, jnp.stack(ranks),
+                lambda blk: self._window_mask(p, params, arrays, blk, G),
+                G=G)
+            return {"m": m, "rows": rows}
         if p["pmode"] == "rank" and p.get("pallas_counts"):
             from ..ops import pallas_kernels as PK
             pvec = (jnp.stack([params[k] for k in p["pkeys"]])
@@ -2182,6 +2661,10 @@ class Program:
             out.update(self._prefix_bucket_outputs(node, arrays, p, counts,
                                                    vm))
             return out
+        if p.get("cube") is not None and isinstance(ctx, MaskCtx):
+            counts, sub_out = self._eval_bucket_cube(node, p, params,
+                                                     arrays)
+            return {"counts": counts, **sub_out}
         bid_own = arrays[p["bid_key"]]
         if isinstance(ctx, MaskCtx):
             if col.multi:
@@ -2263,6 +2746,10 @@ class Program:
 
         if p["mode"] == "prefix":
             return self._eval_terms_prefix(node, ctx, params, arrays, path, p)
+        if p.get("cube") is not None and isinstance(ctx, MaskCtx):
+            counts, sub_out = self._eval_bucket_cube(node, p, params,
+                                                     arrays)
+            return self._terms_select_traced(p, counts, sub_out, 1)
 
         ids = arrays[f"{field}:w"] if col.ftype.is_stringy \
             else arrays[f"{field}:tid"]
@@ -3363,10 +3850,10 @@ def _bisect_select_slot_values(planes, vm8, cum2, slot32, ranks, p, madd):
     return ((h << 32) + (l + 2**31)).reshape(ns, twoP)
 
 
-def _rank_select_rows_lazy(cum128, ranks, window_of):
+def _rank_select_rows_lazy(cum128, ranks, window_of, G=128):
     """For each 0-based rank r: the layout row of the (r+1)-th matched row,
-    from a [G] inclusive per-128-row-group match-count prefix (int32) and a
-    `window_of(blk) -> bool [128]` recompute callback (no materialized
+    from an inclusive per-G-row-group match-count prefix (int32) and a
+    `window_of(blk) -> bool [G]` recompute callback (no materialized
     mask). Trace-time body; expects x64 semantics."""
     targets = ranks + 1
 
@@ -3377,7 +3864,7 @@ def _rank_select_rows_lazy(cum128, ranks, window_of):
         window = window_of(blk)
         inner = jnp.cumsum(window.astype(I32))
         off = jnp.sum((inner.astype(I64) < (t - base)).astype(I32))
-        return (blk * 128 + off).astype(I32)
+        return (blk * G + off).astype(I32)
 
     return jax.vmap(one)(targets)
 

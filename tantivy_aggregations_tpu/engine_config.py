@@ -35,6 +35,10 @@ class EngineConfig:
     #: bf16 MXU matmuls (ops/reductions.py dense_bucket_*_mxu) instead of
     #: per-query one-hot VPU work; exact by 7-bit piece construction
     dense_mxu: bool = True
+    #: value-domain cube lowering (ops/cube.py): unsharded trees whose
+    #: parameterized query chain lives on a small single-valued domain
+    #: evaluate as exact domain-indicator matmuls — no per-query row pass
+    use_cube: bool = True
     #: run Pallas kernels in interpreter mode (CPU testing of kernel paths)
     pallas_interpret: bool = False
 

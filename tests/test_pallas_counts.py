@@ -52,7 +52,12 @@ def pidx():
 
 @pytest.fixture(scope="module")
 def psearch(pidx):
-    return (pidx.searcher(config=EngineConfig(pallas_interpret=True)),
+    # use_cube=False: this module pins the PALLAS chain_counts path, which
+    # the value-domain cube supersedes on cube-able chains (ops/cube.py);
+    # the kernel still serves non-cube-able chains and non-integer
+    # percents. test_cube.py covers the cube's own rank-percentile path.
+    return (pidx.searcher(config=EngineConfig(pallas_interpret=True,
+                                              use_cube=False)),
             pidx.oracle_searcher())
 
 
@@ -79,6 +84,21 @@ def test_rank_percentiles_via_kernel(psearch, case):
     prog = s._program_for(q, tree)
     assert prog.plan[("a", "p")].get("pallas_counts"), (q, field)
     assert s.agg_search(q, tree) == o.agg_search(q, tree)
+
+
+def test_cube_supersedes_kernel_on_cubeable_chains(pidx):
+    """With the default config (use_cube=True), integer-percent rank
+    paths over cube-able chains plan the MXU block-histogram (pcube) and
+    the kernel stays on for the rest — both bit-identical."""
+    s = pidx.searcher(config=EngineConfig(pallas_interpret=True))
+    o = pidx.oracle_searcher()
+    for case, want_cube in [(1, True), (2, False), (3, True), (0, False)]:
+        q, field, pc = CASES[case]
+        tree = {"p": tat.percentiles_agg(field, percents=list(pc))}
+        prog = s._program_for(q, tree)
+        planned_cube = prog.plan[("a", "p")].get("pcube") is not None
+        assert planned_cube == want_cube, (case, q, field)
+        assert s.agg_search(q, tree) == o.agg_search(q, tree)
 
 
 def test_rank_percentiles_kernel_msearch(psearch):
