@@ -256,11 +256,18 @@ class Program:
             kind = p.get("kind")
             if kind == "percentiles" and p.get("pmode") == "slot_rank":
                 rows = p["layout"].n_rows
-                if p.get("pallas_slots"):
+                if p.get("scube") is not None:
+                    # only the [ns, R/G] counts + cumsum stay live
+                    per_q += (rows // p["scube"]["G"]) * p["nslots"] * 8
+                elif p.get("pallas_slots"):
                     # only the [ns, R/32] counts + cumsum stay live
                     per_q += (rows // 32) * p["nslots"] * 8
                 else:
                     per_q += rows * (9 + p["nslots"] // 4)
+            elif kind == "percentiles" and p.get("pmode") == "rank" \
+                    and p.get("pcube") is not None:
+                # cube rank prefix: only the [R/G] counts + cumsum live
+                per_q += (p["layout"].n_rows // p["pcube"]["G"]) * 8
             elif kind == "percentiles" and p.get("pmode") == "rank" \
                     and not p.get("pallas_counts"):
                 # mask-gather mode adds the [R] int32 take result
@@ -953,6 +960,50 @@ class Program:
         self._need(key, cc[ck])
         return {**self._cube_base(facs, Dprod, chain), "key": key, "G": G}
 
+    def _plan_cube_slots(self, p, chain, layout, nslots, bchain):
+        """Cube lowering for slot_rank nested percentiles: per-(slot,
+        block) chain-match counts from one int8 MXU matmul against a
+        static [Dprod, ns*2NB] histogram over (composite ancestor slot,
+        G-row block, domain cell) — built once on device from the
+        resident permuted planes + the static composite-slot plane.
+        Unsharded, integer percents, single-valued value fields."""
+        from ..ops import cube
+        g = self._cube_gate(chain)
+        if g is None:
+            return None
+        facs, Dprod = g
+        G = cube.choose_block_ns(layout.n_rows, Dprod, nslots)
+        if G is None:
+            return None
+        p["pkeys"] = self._chain_pkeys(chain)
+        p["ckeys"] = self._chain_plane_keys(chain)
+        self._build_permuted_view(layout, p["prefix"], chain, ())
+        self._build_slotcomp(p, layout, p["prefix"], bchain)
+        cc = self._cube_cache()
+        fkey = tuple(f for f, _, _ in facs)
+        ck = ("shist", p["prefix"], fkey, G, p["slotk"])
+        if ck not in cc:
+            strides, _ = cube.strides_of(facs)
+            alive = layout.cache["alive"]
+            ws = [layout.cache[f"{f}:w"] for f, _, _ in facs]
+            vp = layout.valid_perm
+            sp = layout.cache[p["slotk"]]
+
+            @jax.jit
+            def build(alive, vp, sp, *ws):
+                cell = jnp.zeros(ws[0].shape[0], I32)
+                for (_, Df, off), st, w in zip(facs, strides, ws):
+                    cell = cell + (w + off) * st
+                cell = jnp.where((alive > 0) & (vp > 0), cell, -1)
+                return cube.build_slot_blockhist(cell, sp, nslots, Dprod,
+                                                 G)
+
+            with jax.enable_x64(False):
+                cc[ck] = build(alive, vp, sp, *ws)
+        key = f"SCUBE#{p['prefix']}#{'|'.join(fkey)}#{G}#{p['slotk']}"
+        self._need(key, cc[ck])
+        return {**self._cube_base(facs, Dprod, chain), "key": key, "G": G}
+
     def _build_pct_blockhist(self, facs, Dprod, G, layout):
         """One-time jitted device build of the [Dprod, 2*NB] block-cell
         histogram from the layout's permuted w planes (a query-independent
@@ -1527,7 +1578,15 @@ class Program:
                 self._pallas_ok and int_p and not col.multi
                 and PK.chain_slot_counts_supported(
                     layout.n_rows, nslots, self.config.max_batch))
-            if p["pallas_slots"]:
+            # value-domain cube (ops/cube.py): per-(slot, block) counts
+            # from ONE int8 MXU matmul against a static [Dprod, ns*2NB]
+            # histogram — supersedes the kernel on cube-able chains
+            p["scube"] = (self._plan_cube_slots(p, chain, layout, nslots,
+                                                bchain)
+                          if int_p and not col.multi else None)
+            if p["scube"] is not None:
+                p["pallas_slots"] = False
+            elif p["pallas_slots"]:
                 p["pkeys"] = self._chain_pkeys(chain)
                 p["ckeys"] = self._chain_plane_keys(chain)
                 # untransposed chain planes: lazy 32-row window recompute
@@ -2509,26 +2568,55 @@ class Program:
                                                     blk, s))
         return {"m": m_s, "rows": rows}
 
-    def _window_mask32_slot(self, p, params, arrays, blk, s):
-        """Chain-mask & slot bits of the 32-row window at block `blk`,
+    def _window_mask32_slot(self, p, params, arrays, blk, s, G=32):
+        """Chain-mask & slot bits of the G-row window at block `blk`,
         recomputed from dynamic slices of the ORIGINAL permuted planes
-        (the kernel path never materializes the [R] mask)."""
+        (the kernel and cube paths never materialize the [R] mask)."""
         prefix, chain = p["prefix"], p["chain"]
-        base = (blk * 32).astype(I32)
+        base = (blk * G).astype(I32)
         sl = {prefix + k: jax.lax.dynamic_slice(
-                  arrays[prefix + k], (base,), (32,))
+                  arrays[prefix + k], (base,), (G,))
               for k in ("alive", "lvalid", *p["ckeys"])}
         m = (sl[prefix + "alive"] > 0) & (sl[prefix + "lvalid"] > 0)
         for q, qpath in chain:
-            m = m & qc.eval_mask(q, self.dindex, params, qpath, 32, sl,
+            m = m & qc.eval_mask(q, self.dindex, params, qpath, G, sl,
                                  prefix)
         srow = jax.lax.dynamic_slice(arrays[prefix + p["slotk"]],
-                                     (base,), (32,))
+                                     (base,), (G,))
         return m & (srow == s)
+
+    def _eval_percentiles_slots_cube(self, node, params, arrays, p):
+        """slot_rank via the value-domain cube: [ns, NB] per-slot block
+        counts from one MXU matmul, then the same int32 cumsum + in-trace
+        integer ranks + lazy G-row window selection as the kernel path."""
+        from ..ops import cube
+        cb = p["scube"]
+        ns, G = p["nslots"], cb["G"]
+        ind = self._cube_ind(cb, params)
+        cns = cube.slot_block_counts(ind, arrays[cb["key"]], ns)
+        cum = jnp.cumsum(cns, axis=-1)
+        m_s = self._madd(cum[:, -1].astype(I64))  # [ns]
+        ms = jnp.maximum(m_s - 1, 0)
+        ranks = []
+        for q in node.percents:
+            num = jnp.int64(int(q)) * ms
+            lo = num // 100
+            hi = jnp.minimum(lo + 1, ms)
+            ranks.extend([lo, hi])
+        ranks = jnp.stack(ranks, axis=1)  # [ns, 2P]
+        rows = _slot_rank_select_rows_lazy(
+            cum, ranks,
+            lambda blk, s: self._window_mask32_slot(p, params, arrays,
+                                                    blk, s, G),
+            G=G)
+        return {"m": m_s, "rows": rows}
 
     def _eval_percentiles_slots(self, node, ctx, params, arrays, path, p):
         """Per-bucket percentiles: ancestor bucket slots recomputed in the
         value layout's permuted space; per-slot coarse prefix + rank rows."""
+        if p.get("scube") is not None:
+            return self._eval_percentiles_slots_cube(node, params, arrays,
+                                                     p)
         if p.get("pallas_slots"):
             return self._eval_percentiles_slots_pallas(node, params,
                                                        arrays, p)
@@ -3894,10 +3982,10 @@ def _rank_select(cum32, vmask_perm, ranks):
         return _rank_select_rows(cum32, vmask_perm, ranks)
 
 
-def _slot_rank_select_rows_lazy(cum_ns, ranks, window_of):
+def _slot_rank_select_rows_lazy(cum_ns, ranks, window_of, G=32):
     """Per-slot rank gather without materialized mask/slot planes:
-    cum_ns [ns, G] inclusive per-32-row-block per-slot match prefixes,
-    ranks [ns, 2P] 0-based; `window_of(blk, s) -> bool [32]` recomputes
+    cum_ns [ns, NB] inclusive per-G-row-block per-slot match prefixes,
+    ranks [ns, 2P] 0-based; `window_of(blk, s) -> bool [G]` recomputes
     the chain-mask & slot bits of one block from the original permuted
     planes. Trace-time body (x64 semantics)."""
     ns = cum_ns.shape[0]
@@ -3913,7 +4001,7 @@ def _slot_rank_select_rows_lazy(cum_ns, ranks, window_of):
             win = window_of(blk, s)
             inner = jnp.cumsum(win.astype(I32))
             off = jnp.sum((inner.astype(I64) < (t - base)).astype(I32))
-            return (blk * 32 + off).astype(I32)
+            return (blk * G + off).astype(I32)
 
         return jax.vmap(one)(targets)
 

@@ -301,3 +301,40 @@ def block_counts(ind8, hist2):
     NB = hist2.shape[1] // 2
     dots = cube_dots(ind8, hist2)
     return dots[:NB] + (dots[NB:] << 7)
+
+
+def choose_block_ns(n_rows: int, Dprod: int, ns: int):
+    """choose_block for per-SLOT block histograms: the [Dprod, ns * 2NB]
+    operand must fit the byte budget."""
+    for G in BLOCK_GS:
+        if n_rows % G == 0 and 2 * (n_rows // G) * ns * Dprod \
+                <= CUBE_BLOCK_MEM:
+            return G
+    return None
+
+
+def build_slot_blockhist(cell_dev, slot_dev, ns: int, Dprod: int, G: int):
+    """Device-built [Dprod, 2*NB*ns] two-digit per-(block, slot) cell
+    histogram (cell < 0 or slot < 0 = dropped): the slot_rank analog of
+    build_blockhist. Column order is block-major slot-minor so the traced
+    counts reshape to [ns, NB] with one transpose."""
+    R = cell_dev.shape[0]
+    NB = R // G
+    blk = jax.lax.iota(I32, R) // G
+    ok = (cell_dev >= 0) & (slot_dev >= 0)
+    comp = (blk * ns + jnp.maximum(slot_dev, 0)) * Dprod + cell_dev
+    idx = jnp.where(ok, comp, NB * ns * Dprod)
+    counts = jnp.zeros(NB * ns * Dprod, I32).at[idx].add(1, mode="drop")
+    c2 = counts.reshape(NB * ns, Dprod)
+    d0 = (c2 & 127).astype(jnp.int8).T     # [Dprod, NB*ns]
+    d1 = (c2 >> 7).astype(jnp.int8).T
+    return jnp.concatenate([d0, d1], axis=1)
+
+
+def slot_block_counts(ind8, hist2, ns: int):
+    """Traced per-slot per-block chain-match counts [ns, NB] int32 from
+    the slot block histogram (exact: counts <= G <= 8192, two digits)."""
+    M = hist2.shape[1] // 2  # NB * ns
+    dots = cube_dots(ind8, hist2)
+    c = dots[:M] + (dots[M:] << 7)
+    return c.reshape(M // ns, ns).T  # block-major slot-minor -> [ns, NB]

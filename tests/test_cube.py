@@ -250,6 +250,37 @@ def test_cube_percentiles(idx):
     assert n_pcube == 7 * 3
 
 
+def test_cube_slot_rank_percentiles(idx):
+    """Nested (slot_rank) percentiles under bucket ancestors over a
+    cube-able chain plan the per-slot block-histogram matmul (scube) and
+    stay bit-identical — across terms and histogram ancestors, empty
+    slots, and empty matches."""
+    from tantivy_aggregations_tpu import histogram_agg, percentiles_agg, \
+        terms_agg
+    oracle = idx.oracle_searcher()
+    s_on = idx.searcher(config=EngineConfig(use_cube=True))
+    s_off = idx.searcher(config=EngineConfig(use_cube=False))
+    aggs = {
+        "t": terms_agg("cat", size=6,
+                       sub_aggs={"p": percentiles_agg("price",
+                                                      (25.0, 50.0, 75.0))}),
+        "h": histogram_agg("qty", interval=10,
+                           sub_aggs={"p": percentiles_agg("delta", (50.0,))}),
+    }
+    for q in (TermQuery("cat", "b"),
+              RangeQuery("delta", lower=-5, upper=20),
+              TermQuery("opt", "a"),
+              RangeQuery("qty", lower=30, upper=2)):   # empty match
+        want = oracle.agg_search(q, aggs)
+        assert s_off.agg_search(q, aggs) == want
+        assert s_on.agg_search(q, aggs) == want
+    n_scube = sum(
+        1 for prog in s_on._programs.values()
+        for p in (getattr(prog, "plan", None) or {}).values()
+        if isinstance(p, dict) and p.get("scube") is not None)
+    assert n_scube >= 6  # both nested nodes x 3 unique query shapes
+
+
 def test_cube_under_bucket_aggs_unaffected(idx):
     """in_slot metrics never plan cubes; nested trees stay identical."""
     from tantivy_aggregations_tpu import terms_agg

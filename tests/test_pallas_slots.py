@@ -65,7 +65,11 @@ def sidx():
 
 @pytest.fixture(scope="module")
 def ssearch(sidx):
-    cfg = EngineConfig(pallas_interpret=True)
+    # use_cube=False: this module pins the PALLAS chain_slot_counts path,
+    # which the value-domain cube supersedes on cube-able chains
+    # (ops/cube.py scube); the kernel still serves non-cube-able chains.
+    # test_cube.py covers the cube's own slot_rank path.
+    cfg = EngineConfig(pallas_interpret=True, use_cube=False)
     return sidx.searcher(config=cfg), sidx.oracle_searcher()
 
 

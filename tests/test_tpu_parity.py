@@ -223,11 +223,14 @@ def test_prefix_pallas_compiled(idx):
 
 
 def test_slot_rank_pallas_compiled(idx):
-    """The chain_slot_counts kernel (fused slot_rank nested-percentile
-    counts) lowers through Mosaic on the chip and per-bucket percentile
-    fruits stay bit-identical to the oracle. The CPU suite only interprets
-    this kernel (tests/test_pallas_slots.py); this is the compiled pin."""
+    """slot_rank nested percentiles on the chip: the default config plans
+    the value-domain cube (scube — per-slot block-histogram MXU matmul)
+    for this cube-able chain, the kernel pin runs with use_cube=False
+    (chain_slot_counts lowers through Mosaic), and both stay bit-identical
+    to the oracle. The CPU suite only interprets the kernel
+    (tests/test_pallas_slots.py); this is the compiled pin."""
     import jax
+    from tantivy_aggregations_tpu.engine_config import EngineConfig
     s = idx.searcher()
     on_tpu = jax.default_backend() == "tpu"
     q = RangeQuery("amount", lower=100, upper=9000)
@@ -236,11 +239,20 @@ def test_slot_rank_pallas_compiled(idx):
                                "price", (25.0, 50.0, 75.0))})}
     prog = s._program_for(q, aggs)
     assert prog.plan[("a", "t", "p")]["pmode"] == "slot_rank"
-    if on_tpu:  # CPU lane plans pallas_slots=False (no interpret config)
-        assert prog.plan[("a", "t", "p")].get("pallas_slots"), \
-            f"slot_rank fell off the kernel path: " \
+    if on_tpu:
+        assert prog.plan[("a", "t", "p")].get("scube") is not None, \
+            f"slot_rank fell off the cube path: " \
             f"{prog.plan[('a', 't', 'p')]}"
     run(idx, q, aggs)
+    # the kernel path, compiled (cube off)
+    sk = idx.searcher(config=EngineConfig(use_cube=False))
+    progk = sk._program_for(q, aggs)
+    if on_tpu:
+        assert progk.plan[("a", "t", "p")].get("pallas_slots"), \
+            f"slot_rank fell off the kernel path: " \
+            f"{progk.plan[('a', 't', 'p')]}"
+    assert sk.agg_search(q, aggs) == idx.oracle_searcher().agg_search(
+        q, aggs)
 
 
 def test_phrase_query_on_device(idx):
