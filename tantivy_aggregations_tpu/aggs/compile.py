@@ -841,13 +841,13 @@ class Program:
         Count/Sum/Avg sub-agg fruits become [nb, Dprod]-shaped exact piece
         operands — bucket j's fruit is one more dot lane of the SAME
         [B, Dprod] indicator matmul, so the whole bucket tree costs no row
-        pass per query. Returns the cube plan dict or None (row paths)."""
+        pass per query. `sub_aggs` is the Count/Sum/Avg subset the cube
+        answers (callers plan any ctx-free rest — slot_rank percentiles —
+        through the normal in-slot machinery). Returns the cube plan dict
+        or None (row paths)."""
         from ..ops import cube
         g = self._cube_gate(chain)
         if g is None:
-            return None
-        if not all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
-                   for _, s in sub_aggs):
             return None
         facs, Dprod = g
         if Dprod * nb > cube.CUBE_BCELLS_CAP:
@@ -926,6 +926,8 @@ class Program:
             if isinstance(sub, A.CountAgg):
                 sub_out[name] = {"cnt": counts}
                 continue
+            if not isinstance(sub, (A.SumAgg, A.AvgAgg)):
+                continue  # ctx-free rest (slot_rank percentiles): caller
             spec = cb["subs"][name]
             cnt = (jnp.reshape(rec[f"c:{name}"], (nb,)) if spec["multi"]
                    else counts)
@@ -1822,14 +1824,39 @@ class Program:
         entry = self.dindex.schema.field(node.field)
         p["chain_ok"] = (not col.multi) or entry.cardinality.value == "single"
         if tflat * nb <= self.dense_nb and not in_slot and not col.multi:
-            cb = self._plan_cube_bucket(node, "h:" + bid_key, chain, nb,
-                                        bid_host, node.sub_aggs)
+            CSA = (A.CountAgg, A.SumAgg, A.AvgAgg)
+            cube_subs = [ns2 for ns2 in node.sub_aggs
+                         if isinstance(ns2[1], CSA)]
+            rest = [ns2 for ns2 in node.sub_aggs
+                    if not isinstance(ns2[1], CSA)]
+            cb = None
+            if all(isinstance(s2, A.PercentilesAgg) for _, s2 in rest):
+                cb = self._plan_cube_bucket(node, "h:" + bid_key, chain,
+                                            nb, bid_host, cube_subs)
             if cb is not None:
                 p["mode"] = "dense"
                 p["cube"] = cb
                 self.plan[path] = p
-                for name, sub in node.sub_aggs:
+                for name, sub in cube_subs:
                     self._plan_cube_sub(sub, path + (name,), hdims + (nb,))
+                if rest:
+                    # ctx-free subs (slot_rank percentiles): see
+                    # _plan_terms — row slot-ctx DCE'd at compile
+                    self._need_col_planes(col)
+                    self._need(bid_key,
+                               col.bucket_id_plane(bid_key,
+                                                   lambda: bid_host))
+                    p["bid_key"] = bid_key
+                    sub_bchain = (bchain + (("hist", node.field, dict(p)),)
+                                  if bchain is not None and p["chain_ok"]
+                                  else None)
+                    for name, sub in rest:
+                        self._plan_aggs(sub, path + (name,), in_slot=True,
+                                        parent_single=parent_single
+                                        and p["chain_ok"],
+                                        hdims=hdims + (nb,),
+                                        tflat=tflat * nb, chain=chain,
+                                        bchain=sub_bchain)
                 return
         self._need_col_planes(col)
         self._need(bid_key, col.bucket_id_plane(bid_key, lambda: bid_host))
@@ -1963,18 +1990,42 @@ class Program:
 
         if (tflat * card <= self.dense_nb and not in_slot and not col.multi
                 and not isinstance(node, A.FacetAgg)):
-            bid_h = (self._host_planes(col)[0] if col.ftype.is_stringy
-                     else col._term_ids_host)
-            cb = self._plan_cube_bucket(node, f"t:{node.field}:{card}",
-                                        chain, card, bid_h, node.sub_aggs)
+            CSA = (A.CountAgg, A.SumAgg, A.AvgAgg)
+            cube_subs = [ns2 for ns2 in node.sub_aggs
+                         if isinstance(ns2[1], CSA)]
+            rest = [ns2 for ns2 in node.sub_aggs
+                    if not isinstance(ns2[1], CSA)]
+            cb = None
+            if all(isinstance(s2, A.PercentilesAgg) for _, s2 in rest):
+                bid_h = (self._host_planes(col)[0] if col.ftype.is_stringy
+                         else col._term_ids_host)
+                cb = self._plan_cube_bucket(node, f"t:{node.field}:{card}",
+                                            chain, card, bid_h, cube_subs)
             if cb is not None:
                 p["mode"] = "dense"
                 p["cube"] = cb
                 self.plan[path] = p
                 sub_hdims = hdims + ((card if p["sel"] == "host"
                                       else p["keff"]),)
-                for name, sub in node.sub_aggs:
+                for name, sub in cube_subs:
                     self._plan_cube_sub(sub, path + (name,), sub_hdims)
+                if rest:
+                    # ctx-free subs (slot_rank percentiles): standard
+                    # in-slot planning; the row slot-ctx they ignore is
+                    # DCE'd at compile, so no row pass survives
+                    self._need_col_planes(col)
+                    if not col.ftype.is_stringy:
+                        self._need(f"{node.field}:tid", tid)
+                    sub_bchain = (bchain + (("terms", node.field, card),)
+                                  if bchain is not None and p["chain_ok"]
+                                  else None)
+                    for name, sub in rest:
+                        self._plan_aggs(sub, path + (name,), in_slot=True,
+                                        parent_single=parent_single
+                                        and p["chain_ok"],
+                                        hdims=sub_hdims,
+                                        tflat=tflat * card, chain=chain,
+                                        bchain=sub_bchain)
                 return
         self._need_col_planes(col)
         if not col.ftype.is_stringy:
@@ -2752,6 +2803,19 @@ class Program:
         if p.get("cube") is not None and isinstance(ctx, MaskCtx):
             counts, sub_out = self._eval_bucket_cube(node, p, params,
                                                      arrays)
+            rest = [ns2 for ns2 in node.sub_aggs
+                    if ns2[0] not in sub_out]
+            if rest:
+                # ctx-free subs (slot_rank percentiles): see _eval_terms
+                bid_r = arrays[p["bid_key"]]
+                sub_ctx = SlotCtx(bid_r, ctx.mask, (nb,), True, None,
+                                  p["mode"], bid_static=True)
+                sod, svd = self._chain_slots(sub_ctx)
+                sub_ctx.slot_of_doc = sod
+                sub_ctx.slot_valid_of_doc = svd
+                for name, sub in rest:
+                    sub_out[name] = self._eval(sub, sub_ctx, params,
+                                               arrays, path + (name,))
             return {"counts": counts, **sub_out}
         bid_own = arrays[p["bid_key"]]
         if isinstance(ctx, MaskCtx):
@@ -2837,6 +2901,23 @@ class Program:
         if p.get("cube") is not None and isinstance(ctx, MaskCtx):
             counts, sub_out = self._eval_bucket_cube(node, p, params,
                                                      arrays)
+            rest = [ns2 for ns2 in node.sub_aggs
+                    if ns2[0] not in sub_out]
+            if rest:
+                # ctx-free subs (slot_rank percentiles): hand them the
+                # standard slot ctx anyway — they never read it, so XLA
+                # DCEs the whole row pass at compile
+                ids_r = arrays[f"{field}:w"] if col.ftype.is_stringy \
+                    else arrays[f"{field}:tid"]
+                valid_r = ctx.mask & (ids_r >= 0)
+                sub_ctx = SlotCtx(ids_r, valid_r, (card,), True, None,
+                                  p["mode"], bid_static=True)
+                sod, svd = self._chain_slots(sub_ctx)
+                sub_ctx.slot_of_doc = sod
+                sub_ctx.slot_valid_of_doc = svd
+                for name, sub in rest:
+                    sub_out[name] = self._eval(sub, sub_ctx, params,
+                                               arrays, path + (name,))
             return self._terms_select_traced(p, counts, sub_out, 1)
 
         ids = arrays[f"{field}:w"] if col.ftype.is_stringy \
