@@ -222,7 +222,7 @@ def main():
     configs = [(i, n, q, a) for i, (n, q, a)
                in enumerate(flagship.judged_configs(), start=1)]
     configs += flagship.extra_configs()  # identity-gated, outside geomean
-    tpu_p50, tpu_qtime, tpu_results = {}, {}, {}
+    tpu_p50, tpu_qtime, tpu_results, roofline = {}, {}, {}, {}
     for i, name, query, aggs in configs:
         t0 = time.time()
         r = searcher.agg_search(query, aggs)  # compile + first run
@@ -289,6 +289,26 @@ def main():
             f"stream {batch_t*1000:.2f}ms/q over {len(expect)} distinct "
             f"param sets (serving mode w/ request dedup: "
             f"{dedup_t*1000:.2f}ms/q)")
+        # roofline accounting (VERDICT r3 #3): the program's resident
+        # row-extent bytes are the per-query scan bound of a one-pass row
+        # formulation; effective GB/s vs the v5e HBM roofline says how
+        # close (or how far past, via cubes / batch-amortized passes) the
+        # measured stream runs to speed of light
+        HBM_GBPS = 819.0
+        prog = searcher._program_for(query, aggs)
+        sb = prog.scan_bytes()
+        n_cube = sum(1 for pp in prog.plan.values()
+                     if isinstance(pp, dict)
+                     and (pp.get("cube") is not None
+                          or pp.get("pcube") is not None
+                          or pp.get("scube") is not None))
+        eff = sb / batch_t / 1e9
+        log(f"[bench] tpu c{i} roofline: scan bound {sb/1e6:.1f} MB/q, "
+            f"effective {eff:.0f} GB/s = {100*eff/HBM_GBPS:.0f}% of HBM "
+            f"roofline ({HBM_GBPS:.0f} GB/s)"
+            + (f"; {n_cube} cube site(s) bypass the row pass"
+               if n_cube else ""))
+        roofline[i] = (sb, eff)
 
     # --- identity gate -----------------------------------------------------
     if cpp_results:

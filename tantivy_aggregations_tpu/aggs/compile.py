@@ -208,7 +208,10 @@ class Program:
 
         if self._sharded:
             from jax.sharding import PartitionSpec as P
-            arr_specs = {k: P("d", *([None] * (v.ndim - 1)))
+            # cube operands are replicated global pre-aggregates (see
+            # _cube_put); every other resident array is a row-sharded plane
+            arr_specs = {k: (P() if k.startswith("CUBE#")
+                             else P("d", *([None] * (v.ndim - 1))))
                          for k, v in self._arrays.items()}
             # packed fruits are replicated (psum/all-gather merged); the
             # only per-shard outputs are non-integer-percent percentile
@@ -301,6 +304,25 @@ class Program:
 
     def run(self, query, aggs):
         return self.finalize(self.submit(query, aggs), aggs)
+
+    def scan_bytes(self) -> int:
+        """Bytes of resident ROW-EXTENT device data this program's plan
+        references — the per-query HBM traffic of a one-pass row
+        formulation (the information-theoretic scan bound a masked-column
+        engine pays per request). The bench divides this by measured
+        stream time to report EFFECTIVE scan bandwidth against the HBM
+        roofline: ~100% means the row pass runs at speed of light; >100%
+        means the engine beats the scan bound outright (value-domain
+        cubes answer without the row pass; batched Pallas/MXU
+        formulations amortize one pass across an msearch group). Static
+        batch-shared operands (cube sites, block histograms) are
+        excluded — they are not per-query traffic."""
+        total = 0
+        for k, v in self._arrays.items():
+            if k.startswith(("CUBE#", "PCUBE#", "SCUBE#")):
+                continue
+            total += int(np.prod(v.shape)) * v.dtype.itemsize
+        return total
 
     def example_inputs(self):
         """(params, arrays) for this program's own (query, aggs) pair —
@@ -614,16 +636,25 @@ class Program:
                               Q.FuzzyTermQuery, Q.RegexQuery))
 
     def _cube_gate(self, chain):
-        """(factors, Dprod) for a cube-able chain, else None: unsharded,
-        every chain field single-valued narrow/stringy, every chain query
-        elementwise in w, product domain <= CUBE_DOM_CAP, and at least one
-        extracted query param — match-all shaped chains keep the row paths
-        (the cube is an adaptive access structure for parameterized
-        queries, not a result cache; dedup covers repeated identical
-        requests). T < 2^24 keeps the host build_sum float64 accumulation
-        exact (per-cell row counts bound the half-sum magnitudes)."""
+        """(factors, Dprod) for a cube-able chain, else None: every chain
+        field single-valued narrow/stringy, every chain query elementwise
+        in w, product domain <= CUBE_DOM_CAP, and at least one extracted
+        query param — match-all shaped chains keep the row paths (the cube
+        is an adaptive access structure for parameterized queries, not a
+        result cache; dedup covers repeated identical requests). T < 2^24
+        keeps the host build_sum float64 accumulation exact (per-cell row
+        counts bound the half-sum magnitudes).
+
+        Sharded meshes cube too: the pre-aggregates are built from the
+        GLOBAL host planes and the [Dprod, K] operands are tiny, so they
+        replicate across the mesh (P() in_specs) and every shard computes
+        the global dot directly — no psum, no per-shard partials, and the
+        replicated out_specs hold by construction. Only the device-built
+        percentile block-histogram cubes (pcube/scube) stay unsharded:
+        their block axis is the layout row order, which is per-shard on a
+        mesh where rank selection bisects instead."""
         from ..ops import cube
-        if self._sharded or not self.config.use_cube:
+        if not self.config.use_cube:
             return None
         if self.dindex.T >= (1 << 24):
             return None
@@ -654,20 +685,32 @@ class Program:
             cc[key] = cube.host_cell(facs, ws, self.dindex.alive_host > 0)
         return cc[key]
 
+    def _cube_put(self, arr, ndim):
+        """Device placement for a cube operand: packed local transport on
+        one chip; REPLICATED over the mesh when sharded (cube operands are
+        global-domain pre-aggregates, not row planes — every shard holds
+        the whole [Dprod, ...] array and computes the global dot)."""
+        from ..index.loader import _put
+        mesh = self.dindex.mesh
+        if mesh is None:
+            return _put(arr, None, ndim)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(np.asarray(arr),
+                              NamedSharding(mesh, P(*([None] * ndim))))
+
     def _cube_site(self, facs, sig, build_groups):
         """Register one packed [Dprod, K] int8 piece operand (built host-
         exact on miss, cached on the device index); returns (array key,
         column layout), or (None, None) when the site exceeds the static
         column cap (the caller falls back to the row paths)."""
         from ..ops import cube
-        from ..index.loader import _put
         cc = self._cube_cache()
         fkey = tuple(f for f, _, _ in facs)
         key = ("site",) + fkey + (sig,)
         if key not in cc:
             pieces, layout = cube.pack_groups(build_groups())
             cc[key] = (None if pieces.shape[1] > cube.CUBE_COLS_CAP
-                       else (_put(pieces, None, 2), layout))
+                       else (self._cube_put(pieces, 2), layout))
         if cc[key] is None:
             return None, None
         dev, layout = cc[key]
@@ -747,7 +790,6 @@ class Program:
         split of the int64 rm min/max. Empty-cell sentinels match the row
         reductions exactly (I32_MAX / -1 narrow, I64_MAX / I64_MIN wide)."""
         from ..ops import cube
-        from ..index.loader import _put
         cc = self._cube_cache()
         fkey = tuple(f for f, _, _ in facs)
         if col.multi:
@@ -781,7 +823,7 @@ class Program:
                            if which == "min"
                            else cube.build_max64(cell, rm, Dprod, valid))
                     arr = np.stack(cube.split_rm(m64))
-                cc[ck] = _put(arr, None, arr.ndim)
+                cc[ck] = self._cube_put(arr, arr.ndim)
             akey = f"CUBE#{'|'.join(fkey)}#mm:{col.name}:{which}:{col.multi}"
             self._need(akey, cc[ck])
             cb["mm"][which] = akey
@@ -944,9 +986,11 @@ class Program:
         static [Dprod, 2*NB] two-digit per-block cell histogram. The
         histogram is built ONCE on device from the permuted chain planes
         that the window recompute already keeps resident (no extra tunnel
-        bytes). Unsharded, integer percents, dense chains only."""
+        bytes). Unsharded, integer percents, dense chains only (the block
+        axis is the layout row order — per-shard on a mesh, where rank
+        selection bisects instead)."""
         from ..ops import cube
-        g = self._cube_gate(chain)
+        g = None if self._sharded else self._cube_gate(chain)
         if g is None:
             return None
         facs, Dprod = g
@@ -970,7 +1014,7 @@ class Program:
         resident permuted planes + the static composite-slot plane.
         Unsharded, integer percents, single-valued value fields."""
         from ..ops import cube
-        g = self._cube_gate(chain)
+        g = None if self._sharded else self._cube_gate(chain)
         if g is None:
             return None
         facs, Dprod = g

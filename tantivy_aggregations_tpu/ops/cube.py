@@ -59,8 +59,11 @@ CUBE_COLS_CAP = 4096
 #: max composite (domain cell x bucket) cells for a bucket-agg cube (host
 #: bincount domain; 2^23 int64 cells = 64MB transient per build)
 CUBE_BCELLS_CAP = 1 << 23
-#: byte budget for a percentile block-histogram (the one big cube)
-CUBE_BLOCK_MEM = 128 << 20
+#: PEAK-HBM byte budget for a percentile block-histogram build (the one
+#: big cube). The budget covers the transient build scratch too (see
+#: BLOCK_BUILD_FACTOR), so the RESIDENT histogram is bounded by a third
+#: of this — the same 128MB residency bound as before the accounting fix
+CUBE_BLOCK_MEM = 384 << 20
 #: candidate block sizes for block histograms: counts <= G decompose into
 #: two base-128 digits (G >> 7 <= 64 <= 127 keeps the high digit in int8)
 BLOCK_GS = (128, 256, 512, 1024, 2048, 4096, 8192)
@@ -139,7 +142,12 @@ def build_count(cell: np.ndarray, Dprod: int) -> np.ndarray:
 def build_sum(cell: np.ndarray, plane: np.ndarray, Dprod: int) -> np.ndarray:
     """Exact int64 per-cell sums of an int32 plane via 13-bit-split float64
     bincounts: |hi| <= 2^18 and counts <= 2^24, so each half-sum stays
-    < 2^42 < 2^53 — every float add is exact."""
+    < 2^42 < 2^53 — every float add is exact. The count precondition is
+    asserted locally (not just at the planner gate) so a future direct
+    caller on a larger index fails loudly instead of losing exactness."""
+    assert cell.shape[0] < 1 << 24, \
+        "build_sum exactness requires per-cell counts < 2^24 " \
+        f"(got {cell.shape[0]} rows)"
     ok = cell >= 0
     c = cell[ok]
     v = plane[ok].astype(np.int64)
@@ -268,12 +276,22 @@ def cube_dots(ind8, pieces):
 
 # -- percentile block histograms (rank-path prefix counts) -------------------
 
+#: transient-build multiplier for the block-histogram byte budget: the
+#: device build scatters into an int32 [NB*Dprod] counts scratch (4x the
+#: int8 result per digit = 2x the two-digit histogram) and transposes a
+#: copy, so peak HBM during build is ~3x the resident histogram
+BLOCK_BUILD_FACTOR = 3
+
+
 def choose_block(n_rows: int, Dprod: int):
     """Smallest block size whose two-digit [Dprod, 2 * n_rows/G] histogram
-    fits the byte budget (smaller G = finer prefix = cheaper lazy window
-    recompute at selection), or None."""
+    AND its transient build scratch (BLOCK_BUILD_FACTOR x) fit the byte
+    budget (smaller G = finer prefix = cheaper lazy window recompute at
+    selection), or None."""
     for G in BLOCK_GS:
-        if n_rows % G == 0 and 2 * (n_rows // G) * Dprod <= CUBE_BLOCK_MEM:
+        if n_rows % G == 0 and \
+                BLOCK_BUILD_FACTOR * 2 * (n_rows // G) * Dprod \
+                <= CUBE_BLOCK_MEM:
             return G
     return None
 
@@ -305,9 +323,11 @@ def block_counts(ind8, hist2):
 
 def choose_block_ns(n_rows: int, Dprod: int, ns: int):
     """choose_block for per-SLOT block histograms: the [Dprod, ns * 2NB]
-    operand must fit the byte budget."""
+    operand (and its BLOCK_BUILD_FACTOR x build scratch) must fit the
+    byte budget."""
     for G in BLOCK_GS:
-        if n_rows % G == 0 and 2 * (n_rows // G) * ns * Dprod \
+        if n_rows % G == 0 and \
+                BLOCK_BUILD_FACTOR * 2 * (n_rows // G) * ns * Dprod \
                 <= CUBE_BLOCK_MEM:
             return G
     return None
