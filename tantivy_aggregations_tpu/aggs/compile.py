@@ -224,6 +224,10 @@ class Program:
                     continue
                 if pp["pmode"] == "rank" and not pp["int_percents"]:
                     big_specs["/".join(path)] = (P("d"), P("d"))
+                elif pp["pmode"] == "slot_rank" \
+                        and not pp["int_percents"]:
+                    # per-shard (cum [R/32, ns], vm [R], slot [R])
+                    big_specs["/".join(path)] = (P("d"), P("d"), P("d"))
             fn = jax.shard_map(fn, mesh=dindex.mesh,
                                in_specs=(P(), arr_specs),
                                out_specs={"packed": P(), "big": big_specs},
@@ -441,8 +445,12 @@ class Program:
                         rks.append(rks[-1])
                     with jax.enable_x64(True):
                         rk = jnp.asarray(np.stack(rks), I64)
-                    gathers[path] = _slot_rank_select_batch(cum, vm8,
-                                                            slot32, rk)
+                    if p.get("phase2_vals"):
+                        fn, planes = self._slot_bisect_phase2(path, p, True)
+                        gathers[path] = fn(cum, vm8, slot32, rk, planes)
+                    else:
+                        gathers[path] = _slot_rank_select_batch(cum, vm8,
+                                                                slot32, rk)
                     continue
                 rk = []
                 for b in range(B):
@@ -1587,13 +1595,16 @@ class Program:
             int_p = all(float(q).is_integer() for q in node.percents)
             ok = ((not col.multi or col.has_value_rows)
                   and self._chain_is_dense(chain)
-                  and bchain is not None and len(bchain) > 0
-                  # non-integer percents resolve ranks in phase 2 over FULL
-                  # slot-space intermediates, which cannot pass through a
-                  # terms ancestor's top-k gather — histogram ancestors only
-                  and (int_p or (not self._sharded
-                                 and all(kind == "hist"
-                                         for kind, _, _ in bchain))))
+                  and bchain is not None and len(bchain) > 0)
+            # non-integer percents resolve ranks in phase 2 over FULL
+            # slot-space intermediates, so they cannot pass through a terms
+            # ancestor's in-trace top-k gather — the terms planner detects
+            # the shape and forces host-side selection (sel="host", exact
+            # order semantics) so every fruit stays full-slot-space.
+            # Sharded meshes resolve phase 2 by the same per-slot
+            # cross-shard bisection the integer path uses in-trace
+            # (_slot_bisect_phase2) — the per-shard (cum, vm, slot)
+            # intermediates never leave the device (VERDICT r3 #4).
             nslots = 1
             if ok:
                 for kind, f, meta in bchain:
@@ -1645,6 +1656,10 @@ class Program:
                                           bucket_fields=bucket_fields,
                                           row_doc=row_doc)
             p["slot_bisect"] = self._sharded
+            # sharded non-integer percents: phase 2 emits VALUES (w/rm
+            # domain) via the per-slot cross-shard bisection, not layout
+            # rows — the harvest decodes accordingly
+            p["phase2_vals"] = self._sharded and not int_p
             p["span"] = col.span
             if p["slot_bisect"]:
                 self._need_sorted_value_planes(col, layout, prefix)
@@ -1909,8 +1924,7 @@ class Program:
                            for _, s in node.sub_aggs)
         if tflat * nb <= self.dense_nb:
             p["mode"] = "dense"
-        elif (not in_slot and not col.multi
-              and sub_kinds_ok and self._chain_is_dense(chain)):
+        elif not in_slot and not col.multi and sub_kinds_ok:
             # large histogram: static bucket ids -> the same prefix-layout
             # machinery as high-cardinality terms (sorted rows + 32-aligned
             # bounds + prefix differences; no scatter, no sort). Sharded
@@ -2156,6 +2170,15 @@ class Program:
         p["order"] = node.order
         if isinstance(node, A.FacetAgg):
             p["sel"] = "host"  # full count vector; children picked at harvest
+            return
+        if _has_nonint_pct_sub(node):
+            # a non-integer-percent percentile descendant resolves its
+            # ranks in phase 2 over FULL slot-space intermediates — an
+            # in-trace top-k/sort gather would collapse its sibling fruits
+            # to selected buckets and break the slot addressing, so this
+            # node selects host-side (exact order semantics, tested for
+            # every order target)
+            p["sel"] = "host"
             return
         if node.order == ("_count", "desc"):
             p["sel"] = "topk"
@@ -3490,6 +3513,41 @@ class Program:
                           {k: self._arrays[p["prefix"] + k] for k in keys})
         return cache[key]
 
+    def _slot_bisect_phase2(self, path, p, batched: bool):
+        """Jitted per-slot cross-shard bisection select for phase-2
+        (non-integer percents under bucket aggs on a mesh): host-resolved
+        ranks + per-shard (cum32 [R/32, ns], vm8, slot32) intermediates ->
+        selected VALUES [ns, 2P], replicated — the same
+        _bisect_select_slot_values the integer path runs in-trace."""
+        cache = self.__dict__.setdefault("_phase2_cache", {})
+        key = (path, batched, "slot")
+        if key not in cache:
+            from jax.sharding import PartitionSpec as P
+            keys = ("sv0",) if p["narrow"] else ("sv0", "sv1")
+
+            def one(cum, vm8, slot32, ranks, planes):
+                with jax.enable_x64(True):
+                    return _bisect_select_slot_values(
+                        planes, vm8, cum, slot32, ranks, p,
+                        lambda x: jax.lax.psum(x, "d"))
+
+            if batched:
+                def f(c, v, s, r, pl):
+                    return jax.vmap(
+                        lambda cb, vb, sb, rb: one(cb, vb, sb, rb, pl))(
+                            c, v, s, r)
+                in_specs = (P(None, "d"), P(None, "d"), P(None, "d"), P(),
+                            {k: P("d") for k in keys})
+            else:
+                f = one
+                in_specs = (P("d"), P("d"), P("d"), P(),
+                            {k: P("d") for k in keys})
+            fn = jax.shard_map(f, mesh=self.dindex.mesh, in_specs=in_specs,
+                               out_specs=P(), check_vma=False)
+            cache[key] = (jax.jit(fn),
+                          {k: self._arrays[p["prefix"] + k] for k in keys})
+        return cache[key]
+
     def percentile_gathers(self, host, big):
         gathers = {}
         for path, dev in big.items():
@@ -3499,7 +3557,11 @@ class Program:
                 cum, vm8, slot32 = dev
                 with jax.enable_x64(True):
                     rk = jnp.asarray(self._slot_ranks(p, node_host), I64)
-                gathers[path] = _slot_rank_select(cum, vm8, slot32, rk)
+                if p.get("phase2_vals"):
+                    fn, planes = self._slot_bisect_phase2(path, p, False)
+                    gathers[path] = fn(cum, vm8, slot32, rk, planes)
+                else:
+                    gathers[path] = _slot_rank_select(cum, vm8, slot32, rk)
                 continue
             m = int(node_host["m"])
             fracs, ranks = [], []
@@ -3651,10 +3713,13 @@ class Program:
             m = int(np.asarray(raw["m"]).reshape(-1)[flat])
             if m == 0:
                 return {"values": {str(q): None for q in node.percents}}
-            if "vals" in raw:
-                # sharded slot bisection emitted the selected VALUES
-                # directly (narrow: w domain; wide: rm domain)
-                vals = np.asarray(raw["vals"]).reshape(
+            if "vals" in raw or ("rows" not in raw
+                                 and p.get("phase2_vals")):
+                # sharded slot bisection (in-trace "vals", or phase-2
+                # "pvals" for non-integer percents) emitted the selected
+                # VALUES directly (narrow: w domain; wide: rm domain)
+                vals = np.asarray(raw["vals"] if "vals" in raw
+                                  else raw["pvals"]).reshape(
                     -1, 2 * len(node.percents))[flat]
                 out = {}
                 for i, q in enumerate(node.percents):
@@ -3770,14 +3835,24 @@ class Program:
         present = np.nonzero(cvec > 0)[0].tolist()
         target, direction = p["order"]
         desc = direction == "desc"
-        sub = dict(node.sub_aggs)[target]
-        vals = {j: self._harvest(sub, raw[target], path + (target,),
-                                 base * card + j)["value"]
-                for j in present}
-        ids = [j for j in present if vals[j] is not None]
-        nones = [j for j in present if vals[j] is None]
-        ids.sort(key=lambda j: vals[j], reverse=desc)
-        order_ids = ids + nones
+        if target == "_count":
+            # host-forced selection of a count-ordered node (e.g. a
+            # non-integer-percent percentile sub pins the fruits to full
+            # slot space): (count desc/asc, key asc) like the device top-k
+            order_ids = sorted(present,
+                               key=lambda j: (-int(cvec[j]) if desc
+                                              else int(cvec[j]), j))
+        elif target == "_key":
+            order_ids = sorted(present, reverse=desc)
+        else:
+            sub = dict(node.sub_aggs)[target]
+            vals = {j: self._harvest(sub, raw[target], path + (target,),
+                                     base * card + j)["value"]
+                    for j in present}
+            ids = [j for j in present if vals[j] is not None]
+            nones = [j for j in present if vals[j] is None]
+            ids.sort(key=lambda j: vals[j], reverse=desc)
+            order_ids = ids + nones
         top = order_ids[: node.size]
         buckets = []
         shown = 0
@@ -4009,6 +4084,19 @@ def _mcount_slot_at(cum2, vm8, slot32, s, posn):
     inner = jnp.sum(jnp.where(jnp.arange(32) < extra, win, False)
                     .astype(I64))
     return base + inner
+
+
+def _has_nonint_pct_sub(node) -> bool:
+    """True when any descendant agg is a PercentilesAgg with non-integer
+    percents (the shape whose phase-2 machinery needs full-slot-space
+    fruits — see _plan_terms_order / _plan_percentiles)."""
+    for _, sub in getattr(node, "sub_aggs", ()):
+        if isinstance(sub, A.PercentilesAgg) \
+                and not all(float(q).is_integer() for q in sub.percents):
+            return True
+        if _has_nonint_pct_sub(sub):
+            return True
+    return False
 
 
 def _bisect_select_slot_values(planes, vm8, cum2, slot32, ranks, p, madd):

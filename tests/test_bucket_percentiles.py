@@ -81,3 +81,21 @@ def test_pct_noninteger_under_bucket_never_raises(idx):
                                    "f", percents=(99.9,))})}
     got = idx.searcher().agg_search(MatchAllQuery(), aggs)
     assert got == idx.oracle_searcher().agg_search(MatchAllQuery(), aggs)
+
+
+def test_nonint_pct_under_terms_device(idx):
+    """Round 4: non-integer percents under a TERMS ancestor lower on
+    device — the terms node selects host-side (full-slot-space fruits)
+    and phase 2 resolves host ranks over the slot intermediates."""
+    aggs = {"t": terms_agg("k", size=5,
+                           sub_aggs={"p": percentiles_agg(
+                               "f", percents=(12.5, 50.5, 99.9))})}
+    s = idx.searcher()
+    prog = s._program_for(MatchAllQuery(), aggs)
+    assert hasattr(prog, "plan"), "fell back to the host path"
+    assert prog.plan[("a", "t", "p")]["pmode"] == "slot_rank"
+    assert not prog.plan[("a", "t", "p")]["int_percents"]
+    assert prog.plan[("a", "t")]["sel"] == "host"
+    for q in (MatchAllQuery(), TermQuery("k", "key010"),
+              RangeQuery("u", lower=2**62)):  # empty buckets
+        check(idx, q, aggs)

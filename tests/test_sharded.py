@@ -261,13 +261,31 @@ def test_sharded_slot_rank_percentiles(mesh):
         got = s.agg_search(q, aggs)
         want = o.agg_search(q, aggs)
         assert got == want, f"\nsharded: {got}\noracle:  {want}"
-    # non-integer percents under buckets stay on the exact host fallback
-    # when sharded (plan-gated) but still answer correctly
+    # non-integer percents under buckets on a mesh (round 4): the terms
+    # ancestor selects host-side (full-slot-space fruits) and phase 2
+    # resolves host ranks via the per-slot cross-shard bisection — a
+    # DEVICE plan, bit-identical (VERDICT r3 #4)
     na = {"t": terms_agg("cat", size=3,
                          sub_aggs={"p": percentiles_agg("price",
-                                                        percents=(33.3,))})}
-    assert s.agg_search(MatchAllQuery(), na) == \
-        o.agg_search(MatchAllQuery(), na)
+                                                        percents=(50.5,)),
+                                   "n": count_agg()}),
+          "h": histogram_agg("qty", interval=397,
+                             sub_aggs={"p": percentiles_agg(
+                                 "delta", percents=(33.3, 75.0))})}
+    prog_na = s._program_for(MatchAllQuery(), na)
+    assert prog_na.plan[("a", "t", "p")]["pmode"] == "slot_rank"
+    assert prog_na.plan[("a", "t", "p")]["phase2_vals"]
+    assert prog_na.plan[("a", "t")]["sel"] == "host"
+    assert prog_na.plan[("a", "h", "p")]["pmode"] == "slot_rank"
+    for q in [MatchAllQuery(), TermQuery("cat", "cat0001"),
+              RangeQuery("qty", lower=10**7)]:  # empty buckets
+        assert s.agg_search(q, na) == o.agg_search(q, na)
+    # the batched phase-2 variant (vmapped per-slot bisection under the
+    # msearch driver)
+    reqs = [(RangeQuery("qty", lower=10 * j, upper=900), na)
+            for j in range(5)]
+    assert s.agg_search_batch(reqs) == [o.agg_search(q, a)
+                                        for q, a in reqs]
 
 
 def test_sharded_in_slot_top_hits(mesh):
