@@ -39,6 +39,11 @@ class EngineConfig:
     #: parameterized query chain lives on a small single-valued domain
     #: evaluate as exact domain-indicator matmuls — no per-query row pass
     use_cube: bool = True
+    #: member block operands: prefix-mode bucket aggs gated by ONE
+    #: TermQuery on a dense multi-valued field answer from one ~W-byte
+    #: dynamic-slice row of a precomputed per-(value, 32-block)
+    #: count/payload operand — no per-query row pass (bench c7's lever)
+    use_member_ops: bool = True
     #: run Pallas kernels in interpreter mode (CPU testing of kernel paths)
     pallas_interpret: bool = False
 

@@ -72,7 +72,11 @@ def pidx():
 
 @pytest.fixture(scope="module")
 def psearch(pidx):
-    cfg = EngineConfig(dense_nb=8, pallas_interpret=True)
+    # member ops off: TermQuery-on-multi chains must exercise the KERNEL
+    # here (the member operand would supersede it — covered in
+    # tests/test_member_op.py)
+    cfg = EngineConfig(dense_nb=8, pallas_interpret=True,
+                       use_member_ops=False)
     return pidx.searcher(config=cfg), pidx.oracle_searcher()
 
 
