@@ -687,17 +687,42 @@ class Program:
             return None
         return tuple(facs), Dprod
 
+    def _prep_cached(self, ck, build, to_host, from_host):
+        """Build-or-load one cube-cache entry through the CROSS-PROCESS
+        prep cache (utils/prep_cache.py): operands are pure functions of
+        the index contents (keyed by index path + epoch + shard count +
+        cache key), so a warm serving restart skips the argsort /
+        bincount / device-scatter builds entirely. [VERDICT r3 #7]"""
+        cc = self._cube_cache()
+        if ck in cc:
+            return cc[ck]
+        from ..utils import prep_cache as PC
+        di = self.dindex
+        h = PC.load(di.path, di.epoch, di.n_shards, ck)
+        if h is not None:
+            cc[ck] = from_host(h)
+            return cc[ck]
+        v = build()
+        cc[ck] = v
+        hv = to_host(v)
+        if hv is not None:
+            PC.save(di.path, di.epoch, di.n_shards, ck, hv)
+        return v
+
     def _cube_host_cell(self, facs):
         """Host int64 domain-cell index per doc row (alive rows only;
         cached on the device index — shared by every cube over the same
         factor set)."""
         from ..ops import cube
-        cc = self._cube_cache()
         key = ("cell",) + tuple(f for f, _, _ in facs)
-        if key not in cc:
+
+        def build():
             ws = [self._host_planes(self._col(f))[0] for f, _, _ in facs]
-            cc[key] = cube.host_cell(facs, ws, self.dindex.alive_host > 0)
-        return cc[key]
+            return cube.host_cell(facs, ws, self.dindex.alive_host > 0)
+
+        return self._prep_cached(key, build,
+                                 to_host=lambda v: {"cell": v},
+                                 from_host=lambda h: h["cell"])
 
     def _cube_put(self, arr, ndim):
         """Device placement for a cube operand: packed local transport on
@@ -718,11 +743,26 @@ class Program:
         column layout), or (None, None) when the site exceeds the static
         column cap (the caller falls back to the row paths)."""
         from ..ops import cube
+        from ..utils import prep_cache as PC
         cc = self._cube_cache()
+        di = self.dindex
         fkey = tuple(f for f, _, _ in facs)
         key = ("site",) + fkey + (sig,)
         if key not in cc:
-            pieces, layout = cube.pack_groups(build_groups())
+            h = PC.load(di.path, di.epoch, di.n_shards, key)
+            if h is not None:
+                pieces = h["pieces"]
+                layout = [(str(nm), int(m), int(n)) for nm, m, n
+                          in zip(h["lnames"], h["lm"], h["ln"])]
+            else:
+                pieces, layout = cube.pack_groups(build_groups())
+                if pieces.shape[1] <= cube.CUBE_COLS_CAP:
+                    PC.save(di.path, di.epoch, di.n_shards, key,
+                            {"pieces": pieces,
+                             "lnames": np.asarray([nm for nm, _, _
+                                                   in layout], dtype="U"),
+                             "lm": np.asarray([m for _, m, _ in layout]),
+                             "ln": np.asarray([n for _, _, n in layout])})
             cc[key] = (None if pieces.shape[1] > cube.CUBE_COLS_CAP
                        else (self._cube_put(pieces, 2), layout))
         if cc[key] is None:
@@ -823,21 +863,29 @@ class Program:
             if not need:
                 continue
             ck = ("mm",) + fkey + (col.name, which, col.multi)
-            if ck not in cc:
+
+            def build(which=which):
                 src = srcs[which]
                 if col.narrow:
-                    arr = (cube.build_min32(cell, src, Dprod, valid)
-                           if which == "min"
-                           else cube.build_max32(cell, src, Dprod, valid))
-                else:
-                    hi, lo = src
-                    rm = ((hi.astype(np.int64) << 32)
-                          + lo.astype(np.int64) + 2**31)
-                    m64 = (cube.build_min64(cell, rm, Dprod, valid)
-                           if which == "min"
-                           else cube.build_max64(cell, rm, Dprod, valid))
-                    arr = np.stack(cube.split_rm(m64))
-                cc[ck] = self._cube_put(arr, arr.ndim)
+                    return (cube.build_min32(cell, src, Dprod, valid)
+                            if which == "min"
+                            else cube.build_max32(cell, src, Dprod, valid))
+                hi, lo = src
+                rm = ((hi.astype(np.int64) << 32)
+                      + lo.astype(np.int64) + 2**31)
+                m64 = (cube.build_min64(cell, rm, Dprod, valid)
+                       if which == "min"
+                       else cube.build_max64(cell, rm, Dprod, valid))
+                return np.stack(cube.split_rm(m64))
+
+            def build_put(b=build):
+                arr = b()
+                return self._cube_put(arr, arr.ndim)
+
+            self._prep_cached(
+                ck, build_put,
+                to_host=lambda v: {"a": np.asarray(v)},
+                from_host=lambda h: self._cube_put(h["a"], h["a"].ndim))
             akey = f"CUBE#{'|'.join(fkey)}#mm:{col.name}:{which}:{col.multi}"
             self._need(akey, cc[ck])
             cb["mm"][which] = akey
@@ -1011,13 +1059,14 @@ class Program:
         G = cube.choose_block(layout.n_rows, Dprod)
         if G is None:
             return None
-        cc = self._cube_cache()
         fkey = tuple(f for f, _, _ in facs)
         ck = ("phist", p["prefix"], fkey, G)
-        if ck not in cc:
-            cc[ck] = self._build_pct_blockhist(facs, Dprod, G, layout)
+        dev = self._prep_cached(
+            ck, lambda: self._build_pct_blockhist(facs, Dprod, G, layout),
+            to_host=lambda v: {"a": np.asarray(v)},
+            from_host=lambda h: self._cube_put(h["a"], 2))
         key = f"PCUBE#{p['prefix']}#{'|'.join(fkey)}#{G}"
-        self._need(key, cc[ck])
+        self._need(key, dev)
         return {**self._cube_base(facs, Dprod, chain), "key": key, "G": G}
 
     def _plan_cube_slots(self, p, chain, layout, nslots, bchain):
@@ -1039,10 +1088,10 @@ class Program:
         p["ckeys"] = self._chain_plane_keys(chain)
         self._build_permuted_view(layout, p["prefix"], chain, ())
         self._build_slotcomp(p, layout, p["prefix"], bchain)
-        cc = self._cube_cache()
         fkey = tuple(f for f, _, _ in facs)
         ck = ("shist", p["prefix"], fkey, G, p["slotk"])
-        if ck not in cc:
+
+        def build_hist():
             strides, _ = cube.strides_of(facs)
             alive = layout.cache["alive"]
             ws = [layout.cache[f"{f}:w"] for f, _, _ in facs]
@@ -1059,9 +1108,14 @@ class Program:
                                                  G)
 
             with jax.enable_x64(False):
-                cc[ck] = build(alive, vp, sp, *ws)
+                return build(alive, vp, sp, *ws)
+
+        dev = self._prep_cached(
+            ck, build_hist,
+            to_host=lambda v: {"a": np.asarray(v)},
+            from_host=lambda h: self._cube_put(h["a"], 2))
         key = f"SCUBE#{p['prefix']}#{'|'.join(fkey)}#{G}#{p['slotk']}"
-        self._need(key, cc[ck])
+        self._need(key, dev)
         return {**self._cube_base(facs, Dprod, chain), "key": key, "G": G}
 
     def _build_pct_blockhist(self, facs, Dprod, G, layout):
@@ -2574,9 +2628,9 @@ class Program:
                 and col.ftype != FieldType.F64):
             return False
         Df = len(col.terms) if col.ftype.is_stringy else int(col.span) + 1
-        # rough budget gate (final check in _plan_member_op with the real
-        # piece counts): counts-only operand must fit
-        return 1 <= Df * ((self.dindex.T + 31) // 32) <= self.MEMBER_MEM
+        # rough domain gate (the real budget check in _plan_member_op uses
+        # the layout card and piece counts): one int8 column must fit
+        return 1 <= Df <= self.MEMBER_MEM
 
     def _member_split(self, chain):
         """(reduced_chain, member_specs): every POSITIVE CONJUNCTIVE
@@ -2623,16 +2677,20 @@ class Program:
         return all(all_q(q) for q, _ in chain)
 
     def _plan_member_op(self, node, p, chain, layout, prefix):
-        """Member block operand lowering for a prefix-mode bucket agg whose
+        """Member operand lowering for a prefix-mode bucket agg whose
         ENTIRE chain is one eligible TermQuery (possibly wrapped in pure
-        must-conjunctions): per-(value, 32-block) matched counts and
-        payload sums are precomputed into ONE [Df, W] int8 piece operand,
-        so a query slices a ~W-byte row and rides the existing
-        cumsum+bounds prefix machinery — NO per-query row pass at all.
-        Exact: counts <= 32 (one int8 digit); payload block sums < 2^31
-        split into 7-bit pieces; the slice is an exact regrouping of the
-        same integer addends. Returns True when planned (sets
-        p["member_op"], registers the operand)."""
+        must-conjunctions): per-(member value, BUCKET) matched counts and
+        payload sums are precomputed into ONE [Df_pad, W] int8 piece
+        operand, so a query dynamic-slices one ~W-byte row and recombines
+        [card]-sized vectors — no per-query row pass, no per-query cumsum.
+        (The first formulation kept per-32-BLOCK cells and rode the
+        cumsum+bounds machinery; its per-query [R/32]-long cumsums
+        measured 2.1 ms/q on the 10M c7 shape vs ~0.39 ms/q for the
+        slice alone, so the bucket reduction moved into the build.)
+        Exact: every cell is an exact integer aggregate (i32 counts, i64
+        limb-plane sums) decomposed into signed 7-bit pieces
+        (ops/cube.py npieces_i64 identity); the slice-and-recombine
+        regroups the same addends. Returns True when planned."""
         if not self.config.use_member_ops:
             return False
         rchain, member = self._member_split(chain)
@@ -2641,15 +2699,14 @@ class Program:
         spec = member[0]
         col = self._col(spec["field"])
         Df = spec["Df"]
-        R = layout.n_rows
-        NB = (R + 31) // 32
+        card = len(layout.bounds) - 1
         # payload planes (same sources as _build_cblocks_view)
         pay_fields = []
         for _, s in node.sub_aggs:
             if isinstance(s, (A.SumAgg, A.AvgAgg)) \
                     and s.field not in pay_fields:
                 pay_fields.append(s.field)
-        planes = []   # (group key, host plane int32 [T])
+        planes = []   # (group key, host plane int32 [T], nonneg)
         pay_meta = {}
         for g in pay_fields:
             colg = self._col(g)
@@ -2671,33 +2728,57 @@ class Program:
                     meta["skeys"].append(f"s:{g}:{i}")
                     planes.append((f"s:{g}:{i}", limbs[:, i]))
             pay_meta[g] = meta
-        # piece layout: [counts | per-plane pieces...], block-minor
+        # static piece counts from host-known cell bounds: a (value,
+        # bucket) cell holds at most min(bucket rows, docs containing the
+        # value) rows, so counts and plane sums are bounded without
+        # building anything
         from ..ops import cube
-        cols = [("cnt", 1)]
+        # layout.bounds is in 32-row block units (loader ALIGN)
+        maxbucket = 32 * int(np.max(np.diff(layout.bounds))) if card else 0
+        vc = np.zeros(Df, np.int64)
+        for ph in col.multi_planes_host:
+            v = ph[ph >= 0]
+            if v.size:
+                vc += np.bincount(v, minlength=Df)[:Df]
+        cellcap = min(maxbucket, int(vc.max()) if Df else 0)
+        cols = [("cnt", cube.npieces_i64(0, cellcap))]
         for gk, ph in planes:
             mx = int(ph.max()) if ph.size else 0
             if mx > (2**31 - 1) // 32:
-                return False  # block sums would overflow int32
-            cols.append((gk, cube.npieces_i64(0, mx * 32)))
-        W = NB * sum(n for _, n in cols)
-        if Df * W > self.MEMBER_MEM:
+                return False  # build-stage 32-block sums must stay int32
+            cols.append((gk, cube.npieces_i64(0, mx * cellcap)))
+        U = 32
+        Dpad = -(-Df // U) * U
+        # rows pad to 32 x 128-lane tiles: the operand ships as
+        # [Df, W/128, 128] so the gather_rows DMA slices an UNTILED
+        # leading dim (int8 HBM memrefs tile the last two dims)
+        W = -(-(card * sum(n for _, n in cols)) // 4096) * 4096
+        if Dpad * W > self.MEMBER_MEM:
             return False
         key = f"MOP#{prefix}{spec['field']}#" + "|".join(
             f"{gk}:{n}" for gk, n in cols)
-        cc = self._cube_cache()
-        if key not in cc:
-            cc[key] = self._build_member_op(layout, col, Df, NB,
-                                            [ph for _, ph in planes],
-                                            [n for _, n in cols[1:]])
-        self._need(key, cc[key])
-        p["member_op"] = {"spec": spec, "key": key, "NB": NB,
-                          "cols": cols, "pay": pay_meta}
+        dev = self._prep_cached(
+            key,
+            lambda: self._build_member_op(layout, col, Df, W,
+                                          [ph for _, ph in planes],
+                                          [n for _, n in cols]),
+            to_host=lambda v: {"a": np.asarray(v)},
+            from_host=lambda h: self._cube_put(h["a"], 3))
+        self._need(key, dev)
+        p["member_op"] = {"spec": spec, "key": key, "card": card,
+                          "cols": cols, "pay": pay_meta,
+                          # the XLA row gather is the pathology the DMA
+                          # kernel exists to avoid; use it whenever Pallas
+                          # is available
+                          "gr": self._pallas_ok}
         return True
 
-    def _build_member_op(self, layout, col, Df, NB, pay_planes, pieces):
-        """One-time device build of the [Df_pad, W] member block operand
-        from the PERMUTED per-position planes: U domain values per chunk,
-        each chunk one fused compare + masked block-reduce pass."""
+    def _build_member_op(self, layout, col, Df, W, pay_planes, pieces):
+        """One-time device build of the [Df_pad, W] per-(value, bucket)
+        member operand from the PERMUTED per-position planes: U domain
+        values per chunk, each chunk one fused compare + 32-block reduce
+        + cumsum + bounds-difference pass, decomposed straight to int8
+        pieces (i64 work stays inside the build; queries never touch it)."""
         from ..index.loader import _put
         perm = layout.perm
         mps = []
@@ -2716,9 +2797,22 @@ class Program:
         U = 32
         Dpad = -(-Df // U) * U
         R = int(mps[0].shape[0])
+        NB = (R + 31) // 32
+        # layout.bounds is ALREADY in 32-row block units (loader ALIGN)
+        bnd = jnp.asarray(layout.bounds.astype(np.int64))
+
+        def _pieces(x, n):
+            # vectorized signed 7-bit decomposition (see npieces_i64);
+            # NEVER a scalar accumulate chain (ROADMAP jit miscompile)
+            out = []
+            for i in range(n):
+                pc = (x >> (7 * i)) & 127 if i < n - 1 \
+                    else x >> (7 * (n - 1))
+                out.append(pc.astype(jnp.int8))
+            return out
 
         @jax.jit
-        def chunk(u0, avalid, *planes):
+        def chunk(u0, avalid, bnd, *planes):
             nmp = len(mps)
             mp_list, pay_list = planes[:nmp], planes[nmp:]
             u = u0 + jax.lax.iota(I32, U)
@@ -2726,29 +2820,40 @@ class Program:
             for mp in mp_list:
                 m = m | (mp[None, :] == u[:, None])
             m = m & (avalid[None, :] > 0)
-            parts = [jnp.sum(m.reshape(U, NB, 32), axis=-1,
-                             dtype=I32).astype(jnp.int8)]
-            for pv, n in zip(pay_list, pieces):
+
+            def cells(blocks32):
+                # [U, NB] i32 block aggregates -> [U, card] i64 exact
+                # cell totals via cumsum + 32-unit bounds differences
+                pref = jnp.cumsum(blocks32.astype(I64), axis=-1)
+                at = jnp.concatenate(
+                    [jnp.zeros((U, 1), I64), pref], axis=1)[:, bnd]
+                return at[:, 1:] - at[:, :-1]
+
+            cb = jnp.sum(m.reshape(U, NB, 32), axis=-1, dtype=I32)
+            parts = _pieces(cells(cb), pieces[0])
+            for pv, n in zip(pay_list, pieces[1:]):
                 s = jnp.sum(jnp.where(m, pv[None, :], 0)
                             .reshape(U, NB, 32), axis=-1, dtype=I32)
-                for i in range(n):
-                    pc = (s >> (7 * i)) & 127 if i < n - 1 \
-                        else s >> (7 * (n - 1))
-                    parts.append(pc.astype(jnp.int8))
-            return jnp.concatenate(parts, axis=1)  # [U, W]
+                parts.extend(_pieces(cells(s), n))
+            out = jnp.concatenate(parts, axis=1)
+            # pad to the plan's tile-aligned row width and ship 3-D
+            # (gather_rows DMA slices the untiled leading dim)
+            out = jnp.pad(out, ((0, 0), (0, W - out.shape[1])))
+            return out.reshape(U, W // 128, 128)
 
-        outs = [chunk(jnp.int32(u0), avalid, *mps, *pays)
-                for u0 in range(0, Dpad, U)]
-        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-        return jax.block_until_ready(out)
+        with jax.enable_x64(True):
+            outs = [chunk(jnp.int32(u0), avalid, bnd, *mps, *pays)
+                    for u0 in range(0, Dpad, U)]
+            out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+            return jax.block_until_ready(out)
 
     def _eval_prefix_member(self, node, params, arrays, p):
         """Prefix-mode bucket totals from ONE dynamic-slice row of the
-        member block operand: (per-bucket counts [card], sub_out) — same
-        shapes as the kernel/_perm_mask formulations, ~W bytes of HBM
-        traffic per query instead of a row pass."""
+        member operand: (per-bucket counts [card] i64, sub_out) — same
+        contracts as the kernel/_perm_mask formulations, ~W bytes of HBM
+        traffic and [card]-sized recombines per query."""
         mo = p["member_op"]
-        spec, NB = mo["spec"], mo["NB"]
+        spec, card = mo["spec"], mo["card"]
         op = arrays[mo["key"]]
         k = spec["pkey"]
         if spec["stringy"]:
@@ -2760,42 +2865,39 @@ class Program:
             t = params[k + ":t0"]
             tv = params[k + ":tv0"]
         idx = jnp.clip(t, 0, op.shape[0] - 1).astype(I32)
-        row = jax.lax.dynamic_slice(op, (idx, jnp.int32(0)),
-                                    (1, op.shape[1]))[0].astype(I32) \
-            * tv  # invalid params zero the whole row
+        if mo["gr"]:
+            # scalar-prefetched row DMA: the vmapped msearch group becomes
+            # ONE multi-row copy at wire speed (the XLA gather for this
+            # shape measured ~1.8 GB/s — ops/pallas_kernels.py)
+            from ..ops import pallas_kernels as PK
+            gr = PK.make_gather_rows(self.config.pallas_interpret)
+            row = gr(idx, op).reshape(-1)
+        else:
+            row = jax.lax.dynamic_slice(
+                op, (idx, jnp.int32(0), jnp.int32(0)),
+                (1,) + op.shape[1:]).reshape(-1)
         groups = {}
-        off = 0
-        for gk, n in mo["cols"]:
-            sl = row[off * NB:(off + n) * NB]
-            if n == 1:
-                groups[gk] = sl
-            else:
+        with jax.enable_x64(True):
+            tv64 = tv.astype(I64)  # invalid params zero every group
+            off = 0
+            for gk, n in mo["cols"]:
+                sl = row[off * card:(off + n) * card] \
+                    .reshape(n, card).astype(I64)
                 # vectorized shift-sum (see ROADMAP: scalar accumulate
-                # chains miscompile under jit); i64 shifts (piece << 28
-                # would overflow i32), result < 2^31 by the plan-time
-                # overflow gate
+                # chains miscompile under jit)
                 shifts = jnp.arange(n, dtype=I64) * 7
-                groups[gk] = jnp.sum(
-                    sl.reshape(n, NB).astype(I64) << shifts[:, None],
-                    axis=0).astype(I32)
-            off += n
-        bounds32 = self._local_bounds32(arrays, p["prefix"])
-        counts = R.prefix_diff_counts_from_blocks(groups["cnt"], bounds32)
-
-        def bsum(gk):
-            s32 = groups[gk]
-            h = s32 >> 13
-            return R.prefix_diff_sums_from_blocks(h, s32 - (h << 13),
-                                                  bounds32)
-
+                groups[gk] = jnp.sum(sl << shifts[:, None],
+                                     axis=0) * tv64
+                off += n
+        counts = groups["cnt"]
         sub_out = {}
         for name, sub in node.sub_aggs:
             if isinstance(sub, A.CountAgg):
                 sub_out[name] = {"cnt": counts}
                 continue
             meta = mo["pay"][sub.field]
-            ssum = jnp.stack([bsum(sk) for sk in meta["skeys"]], axis=-1)
-            gcnt = bsum(meta["cnt_key"]) if meta["cnt_key"] else counts
+            ssum = jnp.stack([groups[sk] for sk in meta["skeys"]], axis=-1)
+            gcnt = groups[meta["cnt_key"]] if meta["cnt_key"] else counts
             if len(meta["skeys"]) == 1 and meta["direct"]:
                 sub_out[name] = {"cnt": gcnt, "sum": ssum[:, 0]}
             else:

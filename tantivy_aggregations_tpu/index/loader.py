@@ -229,6 +229,8 @@ class DeviceColumn:
     f64_base_exp: int = 1
     sum_n_limbs: int = 1
     _mesh: Optional[object] = None
+    #: (index path, epoch, n_shards) — cross-process prep-cache anchor
+    _prep: Optional[tuple] = None
     _host_values: Optional[np.ndarray] = None  # user-domain, padded layout
     _host_valid: Optional[np.ndarray] = None
     _host_mono: Optional[np.ndarray] = None  # int64 mono, padded layout
@@ -519,6 +521,34 @@ class DeviceColumn:
 
     # -- ordered layouts ------------------------------------------------------
 
+    def _layout_cached(self, kind_key, build) -> "OrderedLayout":
+        """Build-or-load an OrderedLayout through the cross-process prep
+        cache (utils/prep_cache.py): the 10M-row stable argsorts cost
+        seconds per layout and are pure functions of the index contents,
+        so a warm serving restart skips them. [VERDICT r3 #7]"""
+        prep = getattr(self, "_prep", None)
+        if prep is None or prep[0] is None:
+            return build()
+        from ..utils import prep_cache as PC
+        path, epoch, D = prep
+        key = ("layout", self.name, kind_key)
+        h = PC.load(path, epoch, D, key)
+        if h is not None:
+            vp = h["valid"]
+            return OrderedLayout(
+                perm=h["perm"], n_rows=int(h["perm"].shape[0]),
+                bounds=h.get("bounds"),
+                valid_perm=_put(vp, self._mesh, 1), valid_perm_host=vp,
+                sorted_mono=h.get("sm"))
+        lo = build()
+        arrays = {"perm": lo.perm, "valid": lo.valid_perm_host}
+        if lo.bounds is not None:
+            arrays["bounds"] = lo.bounds
+        if lo.sorted_mono is not None:
+            arrays["sm"] = lo.sorted_mono
+        PC.save(path, epoch, D, key, arrays)
+        return lo
+
     def layout_for_ids(self, key: str, ids_host: np.ndarray,
                        card: int) -> OrderedLayout:
         """Cached OrderedLayout over arbitrary static per-row bucket ids
@@ -528,26 +558,31 @@ class DeviceColumn:
             self._bid_cache = {}
         lkey = ("layout", key)
         if lkey not in self._bid_cache:
-            ids = np.asarray(ids_host, np.int64)
-            if self._host_valid is not None:
-                ids = np.where(self._host_valid, ids, -1)
-            self._bid_cache[lkey] = _build_bucket_layout(
-                ids.astype(np.int32), card, self._mesh)
+            def build():
+                ids = np.asarray(ids_host, np.int64)
+                if self._host_valid is not None:
+                    ids = np.where(self._host_valid, ids, -1)
+                return _build_bucket_layout(ids.astype(np.int32), card,
+                                            self._mesh)
+            self._bid_cache[lkey] = self._layout_cached(("ids", key),
+                                                        build)
         return self._bid_cache[lkey]
 
     def bucket_layout(self) -> OrderedLayout:
         """Rows sorted by bucket id with 32-aligned bucket boundaries, for
         prefix-difference terms aggs (unsharded path)."""
         if self._bucket_layout is None:
-            if self.ftype.is_stringy:
-                ids = np.where(self._host_valid,
-                               self._host_mono, -1).astype(I32)
-                card = max(1, len(self.terms))
-            else:
-                self.term_ids()
-                ids = self._term_ids_host
-                card = self.card
-            self._bucket_layout = _build_bucket_layout(ids, card, self._mesh)
+            def build():
+                if self.ftype.is_stringy:
+                    ids = np.where(self._host_valid,
+                                   self._host_mono, -1).astype(I32)
+                    card = max(1, len(self.terms))
+                else:
+                    self.term_ids()
+                    ids = self._term_ids_host
+                    card = self.card
+                return _build_bucket_layout(ids, card, self._mesh)
+            self._bucket_layout = self._layout_cached("bucket", build)
         return self._bucket_layout
 
     def global_doc_of_rows(self, T: int) -> np.ndarray:
@@ -567,27 +602,28 @@ class DeviceColumn:
         then runs as a cross-shard bisection over the static value domain
         (aggs/compile.py _eval_percentiles, pmode 'rank' + 'bisect')."""
         if self._value_layout is None:
-            m = self._host_mono
-            valid = self._host_valid
-            key = m.copy()
-            if valid is not None:
-                key = np.where(valid, key, np.iinfo(np.int64).max)
-            D = _mesh_D(self._mesh)
-            n = key.shape[0]
-            if D == 1:
-                perm = np.argsort(key, kind="stable").astype(I32)
-                R = _pad_to(n, PAD_BLOCK)
-                perm_p = np.zeros(R, I32)
-                perm_p[:n] = perm
-                vp = np.zeros(R, np.int8)
-                vp[:n] = 1 if valid is None else valid[perm].astype(np.int8)
-                self._value_layout = OrderedLayout(
-                    perm=perm_p, n_rows=R,
-                    valid_perm=_put(vp, self._mesh, 1),
-                    valid_perm_host=vp,
-                    sorted_mono=key[perm],
-                    sorted_mono_dev=None)
-            else:
+            def build():
+                m = self._host_mono
+                valid = self._host_valid
+                key = m.copy()
+                if valid is not None:
+                    key = np.where(valid, key, np.iinfo(np.int64).max)
+                D = _mesh_D(self._mesh)
+                n = key.shape[0]
+                if D == 1:
+                    perm = np.argsort(key, kind="stable").astype(I32)
+                    R = _pad_to(n, PAD_BLOCK)
+                    perm_p = np.zeros(R, I32)
+                    perm_p[:n] = perm
+                    vp = np.zeros(R, np.int8)
+                    vp[:n] = (1 if valid is None
+                              else valid[perm].astype(np.int8))
+                    return OrderedLayout(
+                        perm=perm_p, n_rows=R,
+                        valid_perm=_put(vp, self._mesh, 1),
+                        valid_perm_host=vp,
+                        sorted_mono=key[perm],
+                        sorted_mono_dev=None)
                 # n is T (dense) or V (CSR value rows); both are multiples
                 # of PAD_BLOCK * D and chunk-partitioned by owning shard
                 chunk = n // D
@@ -597,12 +633,13 @@ class DeviceColumn:
                     for s in range(D)]).astype(I32)
                 vp = (np.ones(n, np.int8) if valid is None
                       else valid[perm].astype(np.int8))
-                self._value_layout = OrderedLayout(
+                return OrderedLayout(
                     perm=perm, n_rows=n,
                     valid_perm=_put(vp, self._mesh, 1),
                     valid_perm_host=vp,
                     sorted_mono=key[perm],
                     sorted_mono_dev=None)
+            self._value_layout = self._layout_cached("value", build)
         return self._value_layout
 
 
@@ -697,6 +734,9 @@ class DeviceIndex:
     _max_addends: int = 1
     #: set-type query expansions (query/compile.py match_runs cache)
     set_query_runs: Dict[tuple, list] = field(default_factory=dict)
+    #: on-disk index directory (None for RAM indexes) — the anchor of the
+    #: cross-process prep cache (utils/prep_cache.py)
+    path: Optional[str] = None
 
     @property
     def alive(self) -> jnp.ndarray:
@@ -715,6 +755,8 @@ class DeviceIndex:
         col = build()
         if col.ftype.is_numeric:
             _plan_sums(col, self._max_addends)
+        # anchor for the cross-process layout cache (utils/prep_cache.py)
+        col._prep = (self.path, self.epoch, self.n_shards)
         self.columns[name] = col
         return col
 
@@ -780,7 +822,8 @@ def load_device_index(index, mesh=None) -> DeviceIndex:
                        seg_starts=np.asarray(seg_starts, np.int64),
                        mesh=mesh, n_shards=D, alive_host=alive,
                        _col_builders=builders,
-                       _max_addends=max(total_values, n_docs))
+                       _max_addends=max(total_values, n_docs),
+                       path=getattr(index, "path", None))
 
 
 def _plan_sums(col: DeviceColumn, max_addends: int) -> None:

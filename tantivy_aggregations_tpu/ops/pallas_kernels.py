@@ -490,3 +490,63 @@ def make_chain_blocks(mask_of, interpret: bool = False):
         return out, (True, {k: (True, True) for k in out[1]})
 
     return cb
+
+
+# ---------------------------------------------------------------------------
+# gather_rows: scalar-prefetched row DMA (member operands)
+# ---------------------------------------------------------------------------
+
+def _gather_rows_batched(idx, op, interpret: bool):
+    """idx int32 [B], op int8 [Df, A, 128] -> [B, A, 128]: one contiguous
+    A*128-byte HBM->HBM DMA per grid step, indices scalar-prefetched. The
+    operand is 3-D so the row slice runs along an UNTILED leading dim
+    (int8 HBM memrefs tile the last two dims; a 1-row slice of a 2-D
+    operand trips 'must be aligned to tiling (8)'). The XLA gather for
+    this shape (vmapped dynamic_slice over a ~600MB member operand)
+    measured ~1.8 GB/s on this v5e — the repo's known big-gather
+    pathology — while the row DMA runs at wire speed; callers clip idx
+    into [0, Df)."""
+    B = int(idx.shape[0])
+    Df, A, L = op.shape
+
+    def kernel(idx_ref, op_ref, out_ref, sem):
+        b = pl.program_id(0)
+        dma = pltpu.make_async_copy(op_ref.at[pl.ds(idx_ref[b], 1)],
+                                    out_ref.at[pl.ds(b, 1)], sem)
+        dma.start()
+        dma.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, A, L), op.dtype),
+            interpret=interpret,
+        )(idx, op)
+
+
+def make_gather_rows(interpret: bool = False):
+    """A (idx i32 scalar, op [Df, A, 128]) -> [A, 128] row-fetch with a
+    batching rule that turns a vmapped msearch group into ONE multi-row
+    DMA kernel."""
+
+    @jax.custom_batching.custom_vmap
+    def gr(i, op):
+        return _gather_rows_batched(i[None], op, interpret)[0]
+
+    @gr.def_vmap
+    def _gr_vmap(axis_size, in_batched, i, op):
+        if in_batched[1]:
+            raise NotImplementedError("gather_rows operand cannot be batched")
+        if not in_batched[0]:
+            i = jnp.broadcast_to(i[None], (axis_size,))
+        return _gather_rows_batched(i, op, interpret), True
+
+    return gr

@@ -153,6 +153,25 @@ def test_member_op_msearch_rotation():
         assert got == o.agg_search(q, a), q
 
 
+def test_member_op_gather_rows_kernel():
+    """Interpret-mode coverage of the gather_rows DMA path (on the TPU
+    backend the vmapped msearch group becomes ONE multi-row copy; the
+    real-TPU lane covers the compiled lowering)."""
+    from tantivy_aggregations_tpu.engine_config import EngineConfig
+    idx = planeable_index()
+    s = idx.searcher(config=EngineConfig(pallas_interpret=True))
+    o = idx.oracle_searcher()
+    prog = s._program_for(TermQuery("weights", 42), AGGS)
+    mo = prog.plan[("a", "t")]["member_op"]
+    assert mo["gr"], mo
+    for v in (42, 0, 99, 10**9):
+        assert s.agg_search(TermQuery("weights", v), AGGS) == \
+            o.agg_search(TermQuery("weights", v), AGGS)
+    reqs = [(TermQuery("weights", v), AGGS) for v in (42, 7, 99, 42)]
+    assert s.agg_search_batch(reqs) == [o.agg_search(q, a)
+                                        for q, a in reqs]
+
+
 def test_member_op_with_deletes():
     """Alive masks fold into the precomputed operand (it is built from
     alive&valid rows), so deletes stay exact."""
