@@ -247,6 +247,11 @@ class Program:
     #: HBM headroom an msearch batch's per-query row-axis state may occupy
     #: (the resident columns + layouts live in the remaining HBM)
     _BATCH_MEM_BUDGET = 4 << 30
+    #: slot_rank flat-slot-space admission above the dense budget: slot
+    #: count cap and the byte budget for the XLA path's [R/32, ns] cum
+    #: state (see _plan_percentiles' big-slot-space gate)
+    PCT_SLOT_CAP = 4096
+    _BIG_SLOT_MEM = 256 << 20
 
     def _batch_cap(self):
         """Program-specific msearch group bound, or None (no per-query
@@ -1669,10 +1674,28 @@ class Program:
             if ok:
                 for kind, f, meta in bchain:
                     nslots *= meta["nb"] if kind == "hist" else meta
-            if not ok or nslots > self.dense_nb:
+            ns_ok = ok and nslots <= self.dense_nb
+            if ok and not ns_ok and int_p and nslots <= self.PCT_SLOT_CAP \
+                    and not col.multi and not self._sharded:
+                # big flat slot spaces (round 4): the dense budget bounds
+                # the ANCESTORS' mode, not this machinery — slot_rank is
+                # viable whenever a memory-bounded formulation carries it:
+                # the scube per-(slot, block) histogram keeps per-query
+                # state at [ns, 2*R/G] int32 (G >= 128), and the plain
+                # XLA path is admitted only while its [R/32, ns] cum
+                # state stays under a hard byte budget (the msearch batch
+                # accounting then shrinks groups to fit)
+                from ..ops import cube
+                R_ = col.value_layout().n_rows
+                g = self._cube_gate(chain)
+                ns_ok = ((g is not None
+                          and cube.choose_block_ns(R_, g[1], nslots)
+                          is not None)
+                         or (R_ // 32) * nslots * 4 <= self._BIG_SLOT_MEM)
+            if not ok or not ns_ok:
                 raise NotImplementedError(
                     "percentiles under bucket aggs need dense single-valued "
-                    "ancestors (flat slot space <= dense budget); "
+                    "ancestors (flat slot space within the device budget); "
                     "non-integer percents under a sharded mesh answer "
                     "through the exact host path")
             p["pmode"] = "slot_rank"
@@ -1982,7 +2005,7 @@ class Program:
         p["bid_key"] = bid_key
         sub_kinds_ok = all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
                            for _, s in node.sub_aggs)
-        if tflat * nb <= self.dense_nb:
+        if tflat * nb <= self._dense_budget(node):
             p["mode"] = "dense"
         elif not in_slot and not col.multi and sub_kinds_ok:
             # large histogram: static bucket ids -> the same prefix-layout
@@ -2030,6 +2053,20 @@ class Program:
                                 and sub_bchain is not None else None)
         finally:
             self._mparent = prev_mp
+
+    def _dense_budget(self, node) -> int:
+        """Dense-mode flat-slot admission for a bucket node: dense_nb (the
+        measured one-hot/MXU vs prefix cutover) — EXTENDED to PCT_SLOT_CAP
+        when a percentile descendant needs the bucket in the slot_rank
+        bchain (round 4): prefix/scatter ancestors cannot thread a static
+        slot plane, so without the extension the whole subtree fell to the
+        exact host path; a somewhat-past-cutover dense ancestor is far
+        cheaper than that (the fuzz census measured this shape at ~9% of
+        random draws — tests/test_fuzz.py::test_fallback_shape_rarity)."""
+        if any(isinstance(s, A.PercentilesAgg) or _has_pct_sub(s)
+               for _, s in node.sub_aggs):
+            return max(self.dense_nb, self.PCT_SLOT_CAP)
+        return self.dense_nb
 
     def _has_terms(self, node) -> bool:
         if isinstance(node, A.TermsAgg):
@@ -2144,7 +2181,7 @@ class Program:
             self._need(f"{node.field}:tid", tid)
         sub_kinds_ok = all(isinstance(s, (A.CountAgg, A.SumAgg, A.AvgAgg))
                            for _, s in node.sub_aggs)
-        if tflat * card <= self.dense_nb:
+        if tflat * card <= self._dense_budget(node):
             p["mode"] = "dense"
         elif not in_slot and not col.multi and sub_kinds_ok:
             p["mode"] = "prefix"
@@ -4476,6 +4513,15 @@ def _mcount_slot_at(cum2, vm8, slot32, s, posn):
     inner = jnp.sum(jnp.where(jnp.arange(32) < extra, win, False)
                     .astype(I64))
     return base + inner
+
+
+def _has_pct_sub(node) -> bool:
+    """True when any descendant agg is a PercentilesAgg (drives the
+    dense-budget extension for slot_rank bchain ancestors)."""
+    for _, sub in getattr(node, "sub_aggs", ()):
+        if isinstance(sub, A.PercentilesAgg) or _has_pct_sub(sub):
+            return True
+    return False
 
 
 def _has_nonint_pct_sub(node) -> bool:

@@ -99,3 +99,21 @@ def test_nonint_pct_under_terms_device(idx):
     for q in (MatchAllQuery(), TermQuery("k", "key010"),
               RangeQuery("u", lower=2**62)):  # empty buckets
         check(idx, q, aggs)
+
+
+def test_pct_big_slot_space_device(idx):
+    """Round 4: flat slot spaces past the dense_nb=256 cutover (here
+    terms(40) x histogram -> ~1000+ slots) plan slot_rank on device via
+    the dense-budget extension (PCT_SLOT_CAP) instead of falling to the
+    host path; bit-identical, empty buckets included."""
+    aggs = {"t": terms_agg("k", size=40, sub_aggs={
+        "h": histogram_agg("u", interval=2**35, sub_aggs={
+            "p": percentiles_agg("f", percents=(25, 50, 75))})})}
+    s = idx.searcher()
+    prog = s._program_for(MatchAllQuery(), aggs)
+    assert hasattr(prog, "plan"), "fell back to the host path"
+    pp = prog.plan[("a", "t", "h", "p")]
+    assert pp["pmode"] == "slot_rank" and pp["nslots"] > 256, pp["nslots"]
+    for q in (MatchAllQuery(), TermQuery("k", "key010"),
+              RangeQuery("u", lower=2**62)):
+        check(idx, q, aggs)

@@ -203,3 +203,46 @@ def test_fuzz_random_trees_sharded():
             assert s.agg_search(q, tree) == want, (seed, q, tree)
             done += 1
         assert done >= 4
+
+
+def test_fallback_shape_rarity():
+    """PARITY.md's 'Remaining host-fallback bounds' census: over 2,000
+    random tree x query draws from the structural fuzz distribution, pin
+    the frequency of every remaining plan-time host fallback — the
+    bound-with-data record for the shapes kept on the exact host path
+    (VERDICT r3 #8). If a planner change shrinks a bucket the census
+    celebrates; if one GROWS past its pinned bound this fails loudly."""
+    from tantivy_aggregations_tpu.searcher import _HostFallback
+    rng = np.random.default_rng(2024)
+    idx = random_index(77, n_docs=300, n_segments=2)
+    s = idx.searcher()
+    s._max_programs = 4096  # keep every drawn shape (plan-only census)
+    counts = {"multi_nest": 0, "tophits_slots": 0, "pct_under_bucket": 0,
+              "other_fb": 0, "valid": 0}
+    for _ in range(2000):
+        q = _rand_query(rng)
+        tree = {"a": _rand_bucket(rng, depth=1)}
+        if rng.random() < 0.5:
+            tree["m"] = _rand_leafy(rng)
+        try:
+            prog = s._program_for(q, tree)
+        except (ValueError, TypeError, KeyError):
+            continue  # invalid draw (the oracle rejects it too)
+        counts["valid"] += 1
+        if isinstance(prog, _HostFallback):
+            r = prog.reason
+            if "multi-valued bucket agg nested" in r:
+                counts["multi_nest"] += 1
+            elif "top_hits under huge" in r:
+                counts["tophits_slots"] += 1
+            elif "percentiles under bucket aggs" in r:
+                # multi-valued bucket ancestors (occurrence-weighted
+                # selection — no device lowering yet; PARITY.md)
+                counts["pct_under_bucket"] += 1
+            else:
+                counts["other_fb"] += 1
+    assert counts["valid"] >= 1000, counts
+    assert counts["multi_nest"] <= counts["valid"] * 0.01, counts
+    assert counts["tophits_slots"] <= counts["valid"] * 0.02, counts
+    assert counts["pct_under_bucket"] <= counts["valid"] * 0.10, counts
+    assert counts["other_fb"] == 0, counts
