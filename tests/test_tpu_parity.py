@@ -212,11 +212,14 @@ def test_prefix_pallas_compiled(idx):
     run(idx, q, aggs)
     # multi-valued chain field (mp-plane compares in-kernel) + avg over a
     # multi-valued payload (per-doc preagg cnt/sum planes through the
-    # kernel's 13-bit-split sums)
-    q2 = TermQuery("tags", "t5")
+    # kernel's 13-bit-split sums). The range conjunct keeps the chain off
+    # the member-operand path (a bare term-on-multi would plan member_op)
+    q2 = BooleanQuery(must=[TermQuery("tags", "t5"),
+                            RangeQuery("amount", lower=1)])
     aggs2 = {"t": terms_agg("sku", size=6,
                             sub_aggs={"a": avg_agg("counts")})}
     prog2 = s._program_for(q2, aggs2)
+    assert not prog2.plan[("a", "t")].get("member_op")
     if on_tpu:
         assert prog2.plan[("a", "t")].get("pallas_prefix")
     run(idx, q2, aggs2)
@@ -309,3 +312,188 @@ def test_set_queries_on_device(idx):
             f"set-query chain fell off the kernel path: " \
             f"{prog.plan[('a', 't')]}"
     run(idx, q, aggs)
+
+
+def test_member_op_gather_rows_on_device(idx):
+    """Member operand (per-(value, bucket) int8 pieces) + the gather_rows
+    scalar-prefetch DMA kernel, compiled on the chip: bench c7's shape.
+    The CPU suite covers interpret mode (tests/test_member_op.py)."""
+    import jax
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    aggs = {"t": terms_agg("sku", size=8,
+                           sub_aggs={"s": sum_agg("amount"),
+                                     "n": count_agg()})}
+    prog = s._program_for(TermQuery("counts", 42), aggs)
+    mo = prog.plan[("a", "t")].get("member_op")
+    assert mo, prog.plan[("a", "t")]
+    if jax.default_backend() == "tpu":
+        assert mo["gr"], mo
+    for v in (42, 0, 99, 10**9):
+        run(idx, TermQuery("counts", v), aggs)
+    # msearch rotation: the vmapped group becomes ONE multi-row DMA
+    reqs = [(TermQuery("counts", v), aggs) for v in (42, 7, 42, 99, 3)]
+    assert s.agg_search_batch(reqs) == [o.agg_search(qq, aa)
+                                        for qq, aa in reqs]
+
+
+def test_bucket_mask_gather_on_device():
+    """Token-stream (CSR-tail) gated prefix terms/histogram: the doc mask
+    gathers through the static pdoc plane on the chip instead of scatter
+    mode (tests/test_bucket_mask_gather.py is the CPU matrix)."""
+    from tantivy_aggregations_tpu import PhraseQuery
+    schema = (SchemaBuilder().add_text_field("body")
+              .add_u64_field("amount").add_keyword_field("sku").build())
+    tix = Index.create_in_ram(schema)
+    w = tix.writer()
+    rng = np.random.default_rng(33)
+    words = ["alpha", "beta", "gamma", "delta"]
+    for i in range(3000):
+        nt = int(rng.integers(1, 6)) if rng.random() < 0.8 \
+            else int(rng.integers(9, 30))
+        w.add_document({"body": " ".join(words[int(j)]
+                                         for j in rng.integers(0, 4, nt)),
+                        "amount": int(rng.integers(0, 2000)),
+                        "sku": f"s{int(rng.integers(0, 600)):05d}"})
+    w.commit()
+    aggs = {"t": terms_agg("sku", size=8, sub_aggs={"s": sum_agg("amount")})}
+    p = tix.searcher()._program_for(PhraseQuery("body", "alpha beta"),
+                                    aggs).plan[("a", "t")]
+    assert p["mode"] == "prefix" and p.get("mask_gather"), p["mode"]
+    for text in ("alpha beta", "gamma", "alpha zebra"):
+        got = tix.searcher().agg_search(PhraseQuery("body", text), aggs)
+        want = tix.oracle_searcher().agg_search(PhraseQuery("body", text),
+                                                aggs)
+        assert got == want
+
+
+def test_nonint_pct_under_terms_on_device(idx):
+    """Non-integer percents under a terms ancestor: slot_rank device plan
+    with host-resolved phase-2 ranks over full-slot-space intermediates
+    (the terms node selects host-side) — int64-emulation heavy, a
+    TPU-specific regression surface."""
+    s = idx.searcher()
+    aggs = {"t": terms_agg("status", size=4,
+                           sub_aggs={"p": percentiles_agg(
+                               "price", (12.5, 50.5, 99.9))})}
+    prog = s._program_for(MatchAllQuery(), aggs)
+    pp = prog.plan[("a", "t", "p")]
+    assert pp["pmode"] == "slot_rank" and not pp["int_percents"]
+    assert prog.plan[("a", "t")]["sel"] == "host"
+    for q in (MatchAllQuery(), TermQuery("status", "a"),
+              RangeQuery("amount", lower=10**9)):
+        run(idx, q, aggs)
+
+
+def test_structural_fuzz_sampled_on_device():
+    """A sampled slice of the CPU structural-fuzz lane on the live
+    backend: random tree x query draws, device == oracle (round-2
+    postmortem: this class of gap only shows on the chip)."""
+    from fixtures import random_index
+    from test_fuzz import _rand_bucket, _rand_leafy, _rand_query
+    for seed in (7, 91):
+        rng = np.random.default_rng(seed)
+        fix = random_index(seed, n_docs=400, n_segments=2)
+        s, o = fix.searcher(), fix.oracle_searcher()
+        done = 0
+        for _attempt in range(60):
+            if done >= 6:
+                break
+            q = _rand_query(rng)
+            tree = {"a": _rand_bucket(rng, depth=1)}
+            if rng.random() < 0.5:
+                tree["m"] = _rand_leafy(rng)
+            try:
+                want = o.agg_search(q, tree)
+            except (ValueError, TypeError, KeyError):
+                continue
+            assert s.agg_search(q, tree) == want, (seed, q, tree)
+            done += 1
+        assert done >= 6
+
+
+def test_facet_bytes_on_device():
+    """Facet hierarchies and bytes fields on the live backend."""
+    from tantivy_aggregations_tpu import facet_agg
+    from test_facet_bytes import bytes_index, facet_index
+    fix = facet_index()
+    for a in (facet_agg("cat"), facet_agg("cat", "/books"),
+              facet_agg("cat", "/electronics", size=2)):
+        got = fix.searcher().agg_search(MatchAllQuery(), {"f": a})
+        assert got == fix.oracle_searcher().agg_search(MatchAllQuery(),
+                                                       {"f": a})
+    bix = bytes_index()
+    aggs = {"t": terms_agg("tag", size=5), "n": count_agg()}
+    got = bix.searcher().agg_search(MatchAllQuery(), aggs)
+    assert got == bix.oracle_searcher().agg_search(MatchAllQuery(), aggs)
+
+
+def test_cube_msearch_dedup_on_device(idx):
+    """Value-domain cube through the msearch batch path with request
+    dedup ON and OFF: the [B, P] packed-param MXU dot and the dedup
+    regrouping both lower on the chip."""
+    import dataclasses
+    s = idx.searcher()
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("amount"),
+            "lo": min_agg("price")}
+    prog = s._program_for(TermQuery("status", "a"), aggs)
+    assert any(isinstance(pp, dict) and pp.get("cube") is not None
+               for pp in prog.plan.values()), "chain did not cube"
+    reqs = [(TermQuery("status", c), aggs) for c in "abcab"] * 3
+    want = [o.agg_search(q, a) for q, a in reqs]
+    assert s.agg_search_batch(reqs) == want          # dedup ON (default)
+    s.config = dataclasses.replace(s.config, msearch_dedup=False)
+    try:
+        assert s.agg_search_batch(reqs) == want      # raw compute path
+    finally:
+        s.config = dataclasses.replace(s.config, msearch_dedup=True)
+
+
+def test_replicated_round_robin_on_device(idx):
+    """ReplicatedSearcher on the single chip (1 replica = a 1-shard mesh):
+    the shard_map program + round-robin batch split serve bit-identically."""
+    from tantivy_aggregations_tpu import ReplicatedSearcher
+    rs = ReplicatedSearcher(idx, replicas=1)
+    o = idx.oracle_searcher()
+    aggs = {"n": count_agg(), "s": sum_agg("amount")}
+    for q in (MatchAllQuery(), TermQuery("status", "a")):
+        assert rs.agg_search(q, aggs) == o.agg_search(q, aggs)
+    reqs = [(TermQuery("status", c), aggs) for c in "abcba"]
+    assert rs.agg_search_batch(reqs) == [o.agg_search(q, a)
+                                         for q, a in reqs]
+
+
+def test_wide_multi_on_device():
+    """Wide (hi, lo) multi-valued planes: term/range masks and percentiles
+    over a multi u64 field whose span exceeds the narrow int32 domain."""
+    schema = (SchemaBuilder().add_u64_field("q")
+              .add_u64_field("big", cardinality=Cardinality.MULTI).build())
+    wix = Index.create_in_ram(schema)
+    w = wix.writer()
+    rng = np.random.default_rng(5)
+    for i in range(2000):
+        w.add_document({"q": int(rng.integers(0, 100)),
+                        "big": [int(x) for x in
+                                rng.integers(0, 2**40,
+                                             int(rng.integers(0, 3)))]})
+    w.commit()
+    col = wix.searcher()._get_device_index().column("big")
+    assert col.has_multi_planes_wide
+    for q, aggs in [
+        (TermQuery("big", 7), {"n": count_agg()}),
+        (RangeQuery("big", lower=2**38, upper=2**39),
+         {"n": count_agg(), "s": sum_agg("q")}),
+        (MatchAllQuery(), {"p": percentiles_agg("big")}),
+    ]:
+        got = wix.searcher().agg_search(q, aggs)
+        assert got == wix.oracle_searcher().agg_search(q, aggs)
+
+
+def test_host_fallback_shapes_on_device(idx):
+    """Shapes the planner routes to the exact host fallback still answer
+    bit-identically alongside compiled programs (never-raise contract)."""
+    aggs = {"t": terms_agg("tags", size=5, sub_aggs={
+        "t2": terms_agg("counts", size=5, sub_aggs={
+            "t3": terms_agg("status", size=3)})})}
+    run(idx, TermQuery("status", "a"), aggs)
