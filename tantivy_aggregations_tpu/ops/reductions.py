@@ -417,8 +417,14 @@ def mxu_cumsum(x, max_abs: int, chunk: int = _SCAN_CHUNK) -> jnp.ndarray:
             [x, jnp.zeros((*lead, pad), x.dtype)], axis=-1)
     c = (g + pad) // chunk
     x3 = x.reshape(*lead, c, chunk)
-    tri = jnp.asarray(
-        np.triu(np.ones((chunk, chunk), np.float32)).astype(jnp.bfloat16))
+    # build the triangular operand IN-TRACE from iotas: a host np.triu
+    # constant embeds a [chunk, chunk] literal in the HLO — measured
+    # 33.6 MB of HLO text for one program (two instances), which pushed
+    # the axon remote compile to 60-150 s per process even with the
+    # persistent jax cache configured
+    ri = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (ri <= ci).astype(jnp.bfloat16)
     # vectorized shift-sum (see _recombine: the scalar shift-accumulate
     # loop miscompiles under jit on this jax build)
     parts = jnp.stack(
