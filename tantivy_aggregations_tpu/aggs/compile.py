@@ -276,6 +276,9 @@ class Program:
                     per_q += (rows // 32) * p["nslots"] * 8
                 else:
                     per_q += rows * (9 + p["nslots"] // 4)
+                    if p.get("wslots"):
+                        # K [R] int32 composite slot planes stay live
+                        per_q += rows * 4 * len(p["mterms"]["keys"])
             elif kind == "percentiles" and p.get("pmode") == "rank" \
                     and p.get("pcube") is not None:
                 # cube rank prefix: only the [R/G] counts + cumsum live
@@ -449,17 +452,22 @@ class Program:
                 p = self.plan[path]
                 bpad = (dev[0] if isinstance(dev, tuple) else dev).shape[0]
                 if p["pmode"] == "slot_rank":
-                    cum, vm8, slot32 = dev
                     rks = [self._slot_ranks(p, self._node_at(hosts[b], path))
                            for b in range(B)]
                     while len(rks) < bpad:
                         rks.append(rks[-1])
                     with jax.enable_x64(True):
                         rk = jnp.asarray(np.stack(rks), I64)
-                    if p.get("phase2_vals"):
+                    if p.get("wslots"):
+                        cum, wms = dev
+                        gathers[path] = _wslot_rank_select_batch(cum, wms,
+                                                                 rk)
+                    elif p.get("phase2_vals"):
+                        cum, vm8, slot32 = dev
                         fn, planes = self._slot_bisect_phase2(path, p, True)
                         gathers[path] = fn(cum, vm8, slot32, rk, planes)
                     else:
+                        cum, vm8, slot32 = dev
                         gathers[path] = _slot_rank_select_batch(cum, vm8,
                                                                 slot32, rk)
                     continue
@@ -1581,10 +1589,21 @@ class Program:
                             tflat=tflat, chain=sub_chain, bchain=bchain)
             return
         if isinstance(node, A.TopHitsAgg):
-            if in_slot and tflat > 4096:
-                raise NotImplementedError(
-                    "top_hits under huge bucket spaces answers through "
-                    "the exact host fallback")
+            if in_slot:
+                # the shipped fruit is POST-SELECTION ([keff] for topk
+                # terms ancestors — _gather_top reorders every sub leaf
+                # in-trace), so the host-transfer bound is prod(hdims)*k,
+                # not the trace-time flat slot space; the latter only
+                # bounds the [tflat, k] device intermediate (round 4:
+                # terms(100k card, size 10){top_hits} now lowers)
+                out_flat = 1
+                for d in hdims:
+                    out_flat *= d
+                k = min(node.size, self.dindex.T)
+                if out_flat * k > 4096 or tflat * k > (1 << 22):
+                    raise NotImplementedError(
+                        "top_hits under huge bucket spaces answers through "
+                        "the exact host fallback")
             if node.sort_field is None:
                 # score order (§A.10): constant scores, doc-order selection
                 self.plan[path] = {"kind": "top_hits", "hdims": hdims,
@@ -1661,6 +1680,15 @@ class Program:
             ok = ((not col.multi or col.has_value_rows)
                   and self._chain_is_dense(chain)
                   and bchain is not None and len(bchain) > 0)
+            # occurrence-weighted slot factors (multi-valued terms
+            # ancestors — "mterms" bchain entries): K per-position
+            # composite slot planes, weighted windows at selection.
+            # Unsharded only (the cross-shard bisection would need a
+            # weighted variant); non-integer percents resolve ranks in
+            # phase 2 over the (cum, wms) intermediates
+            mts = [e for e in (bchain or ()) if e[0] == "mterms"]
+            if mts and (self._sharded or len(mts) != 1):
+                ok = False
             # non-integer percents resolve ranks in phase 2 over FULL
             # slot-space intermediates, so they cannot pass through a terms
             # ancestor's in-trace top-k gather — the terms planner detects
@@ -1709,6 +1737,26 @@ class Program:
             p["prefix"] = prefix
             row_doc = (col.global_doc_of_rows(self.dindex.T)
                        if col.multi else None)
+            p["wslots"] = bool(mts)
+            if p["wslots"]:
+                # occurrence-weighted slots: static permuted per-position
+                # parent bucket-id planes; counts and selection windows
+                # sum over the K planes (no kernel/cube variants yet)
+                p["pallas_slots"] = False
+                p["scube"] = None
+                mfield, mcard = mts[0][1], mts[0][2]
+                p["mterms"] = {"field": mfield, "card": mcard}
+                bucket_fields = [f for kind2, f, _ in bchain
+                                 if kind2 != "mterms"]
+                self._build_permuted_view(layout, prefix, chain, (),
+                                          bucket_fields=bucket_fields,
+                                          row_doc=row_doc)
+                self._register_mslots(p, layout, prefix, row_doc)
+                p["slot_bisect"] = False
+                p["phase2_vals"] = False
+                p["span"] = col.span
+                self.plan[path] = p
+                return
             # fused kernel path: chain mask + per-32-block per-slot counts
             # in ONE plane pass per batch against a STATIC composite slot
             # plane; selection re-derives 32-row windows lazily, so no
@@ -1829,6 +1877,37 @@ class Program:
             if p["bisect"]:
                 self._need_sorted_value_planes(col, layout, prefix)
         self.plan[path] = p
+
+    def _register_mslots(self, p, layout, prefix, row_doc):
+        """Static permuted per-position PARENT BUCKET-ID planes for the
+        occurrence-weighted slot_rank path (wslots): plane k holds, per
+        value-layout row, the mterms parent's bucket id via the doc's k-th
+        value position (-1 where none). Stringy mp planes already hold
+        global ordinals; numeric planes hold w-domain values and map to
+        distinct-value term ids host-side (exact searchsorted)."""
+        from ..index.loader import _put
+        mcol = self._col(p["mterms"]["field"])
+        perm = (layout.perm if row_doc is None
+                else row_doc[layout.perm].astype(np.int64))
+        keys = []
+        for k, ph in enumerate(mcol.multi_planes_host):
+            ck = f"ms:{mcol.name}:{k}"
+            if ck not in layout.cache:
+                if mcol.ftype.is_stringy:
+                    ids = ph.astype(np.int64)
+                else:
+                    mcol.term_ids()
+                    uniq = mcol._term_values_mono
+                    ids = np.searchsorted(
+                        uniq, ph.astype(np.int64) + mcol.min_mono)
+                    ids = np.where(ph >= 0,
+                                   np.clip(ids, 0, len(uniq) - 1), -1)
+                layout.cache[ck] = _put(ids[perm].astype(np.int32),
+                                        self.dindex.mesh)
+            key = prefix + ck
+            self._need(key, layout.cache[ck])
+            keys.append(key)
+        p["mterms"]["keys"] = keys
 
     def _register_pdoc(self, col, layout, prefix):
         """Static shard-local doc index per PERMUTED value row ("pdoc"):
@@ -2205,10 +2284,18 @@ class Program:
                 else:
                     self._plan_metric(sub, path + (name,), sub_hdims)
         else:
-            sub_bchain = (bchain + (("terms", node.field, card),)
-                          if (bchain is not None and p["chain_ok"]
-                              and p["mode"] == "dense"
-                              and not col.multi) else None)
+            sub_bchain = None
+            if bchain is not None and p["mode"] == "dense":
+                if p["chain_ok"] and not col.multi:
+                    sub_bchain = bchain + (("terms", node.field, card),)
+                elif (col.multi and col.has_multi_planes
+                      and not col.has_tail
+                      and not col.has_multi_planes_wide
+                      and not any(k == "mterms" for k, _, _ in bchain)):
+                    # occurrence-WEIGHTED slot factor: percentile
+                    # descendants lower via the wslots machinery (one
+                    # mterms factor per chain — §3.2 weighted recursion)
+                    sub_bchain = bchain + (("mterms", node.field, card),)
             prev_mp = self._mparent
             if "xpand" in p:
                 self._mparent = "__deep__"
@@ -3138,9 +3225,68 @@ class Program:
             G=G)
         return {"m": m_s, "rows": rows}
 
+    def _eval_percentiles_wslots(self, node, params, arrays, p):
+        """Occurrence-WEIGHTED per-bucket percentiles (multi-valued terms
+        ancestors, §3.2): K composite slot planes — one per parent value
+        position, -1 where none — summed into per-(slot, 32-block) weighted
+        counts; selection walks weighted windows. A doc with the parent
+        value at j positions contributes its percentile values j times to
+        that slot's multiset, exactly like the oracle's weighted
+        recursion."""
+        prefix = p["prefix"]
+        Rn = arrays[prefix + "lvalid"].shape[0]
+        ns = p["nslots"]
+        vm = self._perm_mask(p["chain"], params, arrays, prefix, Rn)
+        mt = p["mterms"]
+        K = len(mt["keys"])
+        slots_k = []
+        for key in mt["keys"]:
+            slot = jnp.zeros(Rn, I32)
+            valid = vm
+            for kind, f, meta in p["bchain"]:
+                if kind == "hist":
+                    bid = self._bucket_ids(meta, f, arrays, prefix)
+                    slot = slot * meta["nb"] + bid
+                elif kind == "terms":
+                    colf = self._col(f)
+                    ids = (arrays[prefix + f"{f}:w"]
+                           if colf.ftype.is_stringy
+                           else arrays[prefix + f"{f}:tid"])
+                    valid = valid & (ids >= 0)
+                    slot = slot * meta + jnp.maximum(ids, 0)
+                else:  # mterms: substitute THIS position's bucket ids
+                    mk = arrays[key]
+                    valid = valid & (mk >= 0)
+                    slot = slot * meta + jnp.maximum(mk, 0)
+            slots_k.append(jnp.where(valid, slot, -1))
+        wms = jnp.stack(slots_k)  # [K, R] composite slots per position
+        # weighted per-slot 32-block counts: weights <= 32*K per block and
+        # totals <= K*R < 2^31 keep the int32 cumsum exact
+        oh = (wms.reshape(K, -1, 32)[:, :, :, None]
+              == jnp.arange(ns, dtype=I32)[None, None, None, :])
+        c32 = jnp.where(oh, 1, 0).sum(axis=(0, 2))  # [R/32, ns] int32
+        cum = jnp.cumsum(c32, axis=0)
+        m_s = self._madd(cum[-1, :].astype(I64))  # [ns] weighted counts
+        if not p["int_percents"]:
+            # phase 2 resolves ranks host-side (exact rationals), then one
+            # weighted-window gather over these big intermediates
+            return {"m": m_s, "cum": cum, "wms": wms}
+        ms = jnp.maximum(m_s - 1, 0)
+        ranks = []
+        for q in node.percents:
+            num = jnp.int64(int(q)) * ms
+            lo = num // 100
+            hi = jnp.minimum(lo + 1, ms)
+            ranks.extend([lo, hi])
+        ranks = jnp.stack(ranks, axis=1)  # [ns, 2P]
+        rows = _wslot_rank_select_rows(cum, wms, ranks)
+        return {"m": m_s, "rows": rows}
+
     def _eval_percentiles_slots(self, node, ctx, params, arrays, path, p):
         """Per-bucket percentiles: ancestor bucket slots recomputed in the
         value layout's permuted space; per-slot coarse prefix + rank rows."""
+        if p.get("wslots"):
+            return self._eval_percentiles_wslots(node, params, arrays, p)
         if p.get("scube") is not None:
             return self._eval_percentiles_slots_cube(node, params, arrays,
                                                      p)
@@ -3819,7 +3965,10 @@ class Program:
                 elif "rows" in r:
                     keep(path, "rows", r["rows"])
                 elif p["pmode"] == "slot_rank":
-                    bigs["/".join(path)] = (r["cum"], r["vm"], r["slot"])
+                    bigs["/".join(path)] = ((r["cum"], r["wms"])
+                                            if "wms" in r
+                                            else (r["cum"], r["vm"],
+                                                  r["slot"]))
                 elif p["pmode"] == "rank":
                     bigs["/".join(path)] = (
                         (r["cum128"], r["qp"]) if "cum128" in r
@@ -3983,13 +4132,17 @@ class Program:
             node_host = self._node_at(host, path)
             p = self.plan[path]
             if p["pmode"] == "slot_rank":
-                cum, vm8, slot32 = dev
                 with jax.enable_x64(True):
                     rk = jnp.asarray(self._slot_ranks(p, node_host), I64)
-                if p.get("phase2_vals"):
+                if p.get("wslots"):
+                    cum, wms = dev
+                    gathers[path] = _wslot_rank_select(cum, wms, rk)
+                elif p.get("phase2_vals"):
+                    cum, vm8, slot32 = dev
                     fn, planes = self._slot_bisect_phase2(path, p, False)
                     gathers[path] = fn(cum, vm8, slot32, rk, planes)
                 else:
+                    cum, vm8, slot32 = dev
                     gathers[path] = _slot_rank_select(cum, vm8, slot32, rk)
                 continue
             m = int(node_host["m"])
@@ -4659,6 +4812,36 @@ def _slot_rank_select_rows_lazy(cum_ns, ranks, window_of, G=32):
     return jax.vmap(per_slot)(jnp.arange(ns, dtype=I32), ranks)
 
 
+def _wslot_rank_select_rows(cum, wms, ranks):
+    """Occurrence-WEIGHTED per-slot rank gather: cum [G, ns] inclusive
+    per-32-block weighted prefixes; wms [K, R] per-position composite
+    slot planes (-1 none). A row's weight in slot s is the number of
+    planes mapping it to s; the selected row is the one whose cumulative
+    weight first reaches rank+1 (a weight-j row owns j consecutive
+    ranks). Trace-time body (x64 semantics)."""
+    ns = cum.shape[1]
+    K = wms.shape[0]
+
+    def per_slot(s, rk):
+        cs = cum[:, s]
+        targets = rk + 1
+
+        def one(t1):
+            blk = jnp.searchsorted(cs, t1.astype(cs.dtype), side="left")
+            base = jnp.where(blk > 0, cs[jnp.maximum(blk - 1, 0)],
+                             0).astype(I64)
+            win = jax.lax.dynamic_slice(
+                wms, (jnp.int32(0), (blk * 32).astype(I32)), (K, 32))
+            w = jnp.sum((win == s).astype(I64), axis=0)  # [32] weights
+            inner = jnp.cumsum(w)
+            off = jnp.sum((inner < (t1 - base)).astype(I32))
+            return (blk * 32 + off).astype(I32)
+
+        return jax.vmap(one)(targets)
+
+    return jax.vmap(per_slot)(jnp.arange(ns, dtype=I32), ranks)
+
+
 def _slot_rank_select_rows(cum, vm8, slot32, ranks):
     """Per-slot rank gather: cum [G, ns] inclusive per-32-row-block per-slot
     match prefixes, ranks [ns, 2P] 0-based -> [ns, 2P] layout rows of the
@@ -4683,6 +4866,18 @@ def _slot_rank_select_rows(cum, vm8, slot32, ranks):
         return jax.vmap(one)(targets)
 
     return jax.vmap(per_slot)(jnp.arange(ns, dtype=I32), ranks)
+
+
+@jax.jit
+def _wslot_rank_select(cum, wms, ranks):
+    with jax.enable_x64(True):
+        return _wslot_rank_select_rows(cum, wms, ranks)
+
+
+@jax.jit
+def _wslot_rank_select_batch(cum, wms, ranks):
+    with jax.enable_x64(True):
+        return jax.vmap(_wslot_rank_select_rows)(cum, wms, ranks)
 
 
 @jax.jit

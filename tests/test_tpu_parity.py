@@ -497,3 +497,17 @@ def test_host_fallback_shapes_on_device(idx):
         "t2": terms_agg("counts", size=5, sub_aggs={
             "t3": terms_agg("status", size=3)})})}
     run(idx, TermQuery("status", "a"), aggs)
+
+
+def test_wslot_percentiles_on_device(idx):
+    """Occurrence-weighted percentiles under a MULTI-VALUED terms parent
+    (wslots): K composite slot planes + weighted-window selection on the
+    live backend."""
+    aggs = {"t": terms_agg("tags", size=12, sub_aggs={
+        "p": percentiles_agg("price", (25, 50, 75)),
+        "n": count_agg()})}
+    prog = idx.searcher()._program_for(MatchAllQuery(), aggs)
+    assert hasattr(prog, "plan") \
+        and prog.plan[("a", "t", "p")].get("wslots"), "not on wslots"
+    run(idx, MatchAllQuery(), aggs)
+    run(idx, TermQuery("status", "a"), aggs)
