@@ -35,9 +35,11 @@ class EngineConfig:
     #: bf16 MXU matmuls (ops/reductions.py dense_bucket_*_mxu) instead of
     #: per-query one-hot VPU work; exact by 7-bit piece construction
     dense_mxu: bool = True
-    #: value-domain cube lowering (ops/cube.py): unsharded trees whose
-    #: parameterized query chain lives on a small single-valued domain
-    #: evaluate as exact domain-indicator matmuls — no per-query row pass
+    #: value-domain cube lowering (ops/cube.py): trees whose parameterized
+    #: query chain lives on a small single-valued domain evaluate as exact
+    #: domain-indicator matmuls — no per-query row pass. Sharded meshes
+    #: build PER-SHARD operands and psum the dot vectors (round 5); only
+    #: the device-built block-histogram cubes (pcube/scube) stay unsharded
     use_cube: bool = True
     #: member block operands: prefix-mode bucket aggs gated by ONE
     #: TermQuery on a dense multi-valued field answer from one ~W-byte

@@ -9,8 +9,10 @@ doc axis over a 1-D `jax.sharding.Mesh` ("d") — data parallelism over docs:
   and every scatter/gather stays on-chip;
 - fruit merges are the ONLY cross-chip traffic: `psum` for counts and exact
   limb sums (integer addition commutes — exactness survives sharding),
-  all-gather + local reduce for min/max, all-gather + resort for order
-  statistics. XLA lowers these to ICI collectives on TPU pods.
+  all-gather + local reduce for min/max, and CROSS-SHARD BISECTION for
+  order statistics (O(log span) scalar psums over per-shard value-sorted
+  layouts — no all-gather, no resort; aggs/compile.py
+  `_bisect_select_values`). XLA lowers these to ICI collectives on pods.
 
 `make_mesh` builds the mesh; pass it to `Index.searcher(mesh=...)`.
 """
