@@ -33,11 +33,21 @@ terms in int32 (Dprod <= 2^17); recombination shifts in int64. The cube is
 an exact regrouping of the same integer addends, so results are
 bit-identical to the row formulation (and to the oracle) — not just close.
 
-Gating (aggs/compile.py::_cube_gate): unsharded programs whose chain has at
-least one extracted parameter. Match-all-shaped trees keep the row paths —
-the cube is an adaptive access structure for parameterized queries, not a
-result cache (EngineConfig.msearch_dedup covers repeated identical
-requests).
+Gating (aggs/compile.py::_cube_gate): programs whose chain has at least one
+extracted parameter. Match-all-shaped trees keep the row paths — the cube
+is an adaptive access structure for parameterized queries, not a result
+cache (EngineConfig.msearch_dedup covers repeated identical requests).
+
+Sharded meshes build PER-SHARD operands (round 5, VERDICT r4 #1): each
+shard chunk's rows build their own [Dprod, K] pieces (stacked [S, Dprod, K],
+row-sharded over the mesh), every shard dots its local operand against the
+replicated indicator, and ONE int32 psum over the [K] dot vector merges —
+recombine is linear in the dots, so the shifted shard partials sum to the
+exact global value. The build_sum exactness proof then bounds per-SHARD
+counts (MAX_BUILD_ROWS per chunk), so the cube survives global indexes of
+any size; operand memory and build cost shard with the mesh. Per-shard dot
+lanes stay < 2^24 in int32, so the psum'd lanes are < S * 2^24 — exact up
+to 128 shards. Min/max cells merge by pmin/pmax instead of psum.
 """
 
 from __future__ import annotations
@@ -54,6 +64,11 @@ I64_MAX = 2**63 - 1
 #: max product-domain cells for a cube (a [B, Dprod] int8 indicator batch
 #: and the [Dprod, K] piece operand must stay small next to the row planes)
 CUBE_DOM_CAP = 1 << 17
+#: max rows PER BUILD (per shard on a mesh): bounds per-cell counts so the
+#: host build_sum float64-bincount accumulation stays exact (each 13-bit
+#: half-sum < 2^42 < 2^53). Sharded meshes build per-shard operands, so a
+#: GLOBAL index may exceed this as long as each shard chunk stays under it
+MAX_BUILD_ROWS = 1 << 24
 #: max static piece columns per cube site
 CUBE_COLS_CAP = 4096
 #: max composite (domain cell x bucket) cells for a bucket-agg cube (host
@@ -144,9 +159,9 @@ def build_sum(cell: np.ndarray, plane: np.ndarray, Dprod: int) -> np.ndarray:
     bincounts: |hi| <= 2^18 and counts <= 2^24, so each half-sum stays
     < 2^42 < 2^53 — every float add is exact. The count precondition is
     asserted locally (not just at the planner gate) so a future direct
-    caller on a larger index fails loudly instead of losing exactness."""
-    assert cell.shape[0] < 1 << 24, \
-        "build_sum exactness requires per-cell counts < 2^24 " \
+    caller on a larger build fails loudly instead of losing exactness."""
+    assert cell.shape[0] <= MAX_BUILD_ROWS, \
+        "build_sum exactness requires per-cell counts <= MAX_BUILD_ROWS " \
         f"(got {cell.shape[0]} rows)"
     ok = cell >= 0
     c = cell[ok]
@@ -243,6 +258,32 @@ def pack_groups(groups):
         layout.append((name, a.shape[0], n))
     pieces = np.concatenate(cols, axis=1) if cols else \
         np.zeros((0, 0), np.int8)
+    return pieces, layout
+
+
+def pack_groups_sharded(groups):
+    """Per-shard pack: [(name, int64 [S, m, Dprod] or [S, Dprod]), ...] ->
+    (int8 [S, Dprod, K] pieces, layout). The piece count per group is
+    chosen from the bounds ACROSS shards, so every shard shares one column
+    layout and the per-shard int32 dot vectors psum into exactly
+    recombine-able totals (recombine is linear in the dots: shifts
+    distribute over the shard sum). Column order matches pack_groups
+    (group-major, value-row-major, piece-minor)."""
+    cols = []
+    layout = []
+    for name, arr in groups:
+        a = np.asarray(arr, np.int64)
+        if a.ndim == 2:
+            a = a[:, None, :]  # [S, m=1, Dprod]
+        lo = int(a.min()) if a.size else 0
+        hi = int(a.max()) if a.size else 0
+        n = npieces_i64(lo, hi)
+        S, m, D = a.shape
+        p = pieces_host(a, n)                    # [S, m, Dprod, n]
+        cols.append(np.moveaxis(p, 1, 2).reshape(S, D, m * n))
+        layout.append((name, m, n))
+    pieces = np.concatenate(cols, axis=2) if cols else \
+        np.zeros((1, 0, 0), np.int8)
     return pieces, layout
 
 

@@ -242,7 +242,64 @@ def test_fallback_shape_rarity():
             else:
                 counts["other_fb"] += 1
     assert counts["valid"] >= 1000, counts
-    assert counts["multi_nest"] <= counts["valid"] * 0.01, counts
-    assert counts["tophits_slots"] <= counts["valid"] * 0.02, counts
-    assert counts["pct_under_bucket"] <= counts["valid"] * 0.10, counts
+    # bounds ratcheted to just above measured reality (round-5 run of
+    # this exact census: 0%, 0.75%, 4.50% of 2000 valid draws — VERDICT
+    # r4 #5): the census is a regression TRIPWIRE, not a formality. A
+    # planner change that grows a bucket past these fails loudly; one
+    # that shrinks a bucket should ratchet the bound down further.
+    assert counts["multi_nest"] <= counts["valid"] * 0.005, counts
+    assert counts["tophits_slots"] <= counts["valid"] * 0.015, counts
+    assert counts["pct_under_bucket"] <= counts["valid"] * 0.055, counts
+    assert counts["other_fb"] == 0, counts
+
+
+def test_fallback_shape_rarity_sharded():
+    """The same census on an 8-device mesh (VERDICT r4 #5): the MESH
+    planner's host-fallback set must stay within the same ratcheted
+    bounds plus the one known mesh-only class — occurrence-weighted
+    (multi-valued-parent) percentiles, whose weighted cross-shard
+    bisection shares the pct_under_bucket bucket. 600 draws keep the
+    lane fast; plan-only (no eval), so this census pins PLANNER
+    routing regressions on the mesh, not numerics (test_sharded and
+    the dryrun pin those)."""
+    from tantivy_aggregations_tpu.searcher import _HostFallback
+    from tantivy_aggregations_tpu.parallel.shard import make_mesh
+    rng = np.random.default_rng(4025)
+    idx = random_index(78, n_docs=300, n_segments=2)
+    s = idx.searcher(mesh=make_mesh(8))
+    s._max_programs = 4096
+    counts = {"multi_nest": 0, "tophits_slots": 0, "pct_under_bucket": 0,
+              "slot_overflow": 0, "other_fb": 0, "valid": 0}
+    for _ in range(600):
+        q = _rand_query(rng)
+        tree = {"a": _rand_bucket(rng, depth=1)}
+        if rng.random() < 0.5:
+            tree["m"] = _rand_leafy(rng)
+        try:
+            prog = s._program_for(q, tree)
+        except (ValueError, TypeError, KeyError):
+            continue
+        counts["valid"] += 1
+        if isinstance(prog, _HostFallback):
+            r = prog.reason
+            if "multi-valued bucket agg nested" in r:
+                counts["multi_nest"] += 1
+            elif "top_hits under huge" in r:
+                counts["tophits_slots"] += 1
+            elif "percentiles under bucket aggs" in r \
+                    or "sharded mesh" in r:
+                counts["pct_under_bucket"] += 1
+            elif "slot space exceeds 2^31" in r:
+                counts["slot_overflow"] += 1
+            else:
+                counts["other_fb"] += 1
+    # round-5 measured reality on this seed: 0%, 0.83%, 10.0%, 0.17% —
+    # the pct bucket is larger on a mesh because non-integer percents
+    # under bucket aggs with multi-valued/occurrence-weighted shapes
+    # add the weighted-bisection class (PARITY.md census table)
+    assert counts["valid"] >= 300, counts
+    assert counts["multi_nest"] <= counts["valid"] * 0.005, counts
+    assert counts["tophits_slots"] <= counts["valid"] * 0.015, counts
+    assert counts["pct_under_bucket"] <= counts["valid"] * 0.12, counts
+    assert counts["slot_overflow"] <= counts["valid"] * 0.01, counts
     assert counts["other_fb"] == 0, counts
